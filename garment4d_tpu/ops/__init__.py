@@ -1,0 +1,47 @@
+"""Geometry op layer - TPU-native replacement of the CUDA `pointnet2_cuda`
+extension (reference `modules/pointnet2/pointnet2/src/`, SURVEY.md section 2.1).
+"""
+
+from garment4d_tpu.ops.pointcloud import (
+    KnnResult,
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_all,
+    group_points,
+    interp_weights_from_dists,
+    knn_points,
+    pairwise_sqdist,
+    query_and_group,
+    three_interpolate,
+    three_nn,
+)
+from garment4d_tpu.ops.graph import (
+    build_mesh_adjacency,
+    gcn_adjacency,
+    graph_matmul,
+    laplacian_adjacency,
+    row_normalize,
+    smoothing_operator,
+)
+
+__all__ = [
+    "KnnResult",
+    "ball_query",
+    "furthest_point_sample",
+    "gather_points",
+    "group_all",
+    "group_points",
+    "interp_weights_from_dists",
+    "knn_points",
+    "pairwise_sqdist",
+    "query_and_group",
+    "three_interpolate",
+    "three_nn",
+    "build_mesh_adjacency",
+    "gcn_adjacency",
+    "graph_matmul",
+    "laplacian_adjacency",
+    "row_normalize",
+    "smoothing_operator",
+]

@@ -1,0 +1,276 @@
+"""Point-cloud geometry primitives, pure-XLA implementations.
+
+These replace the reference's CUDA extension (`modules/pointnet2/pointnet2/src/`,
+see SURVEY.md section 2.1) with TPU-idiomatic XLA programs:
+
+  * pairwise distances ride the MXU as a matmul (or the VPU for the exact
+    variant),
+  * gathers/groupings are `take_along_axis` (grad = deterministic scatter-add,
+    unlike the reference's `atomicAdd` scatters),
+  * ball-query reproduces the CUDA first-hit slot-filling semantics
+    (reference `src/ball_query_gpu.cu:29-44`) with a rank-scatter instead of a
+    sequential scan,
+  * three-NN / kNN are `lax.top_k` over chunked distance tiles.
+
+All shapes are static; every function is jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# pairwise squared distances
+# ---------------------------------------------------------------------------
+
+
+def pairwise_sqdist(a: Array, b: Array, exact: bool = False) -> Array:
+    """Squared euclidean distances between two point sets.
+
+    a: (..., M, 3), b: (..., N, 3) -> (..., M, N)
+
+    By default uses the |a|^2 + |b|^2 - 2<a,b> expansion so the inner product
+    runs on the MXU. ``exact=True`` computes coordinate differences on the VPU
+    (matches a sequential scan bit-for-bit, at higher memory cost).
+    """
+    if exact:
+        d = a[..., :, None, :] - b[..., None, :, :]
+        return jnp.sum(d * d, axis=-1)
+    a2 = jnp.sum(a * a, axis=-1)  # (..., M)
+    b2 = jnp.sum(b * b, axis=-1)  # (..., N)
+    # HIGHEST: full-f32 accumulation - the default (bf16-pass) matmul precision
+    # loses ~1e-1 absolute on squared distances, which breaks radius thresholds
+    ab = jnp.einsum("...mc,...nc->...mn", a, b,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+    d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
+    return jnp.maximum(d2, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# furthest point sampling
+# ---------------------------------------------------------------------------
+
+
+def furthest_point_sample(xyz: Array, npoint: int, use_pallas: Optional[bool] = None) -> Array:
+    """Iterative furthest point sampling.
+
+    xyz: (B, N, 3) float32 -> (B, npoint) int32 indices.
+
+    Matches the reference semantics (`src/sampling_gpu.cu`
+    `furthest_point_sampling_kernel`): deterministic, always starts at index 0,
+    running min-distance array, argmax each step. Non-differentiable.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from garment4d_tpu.ops.pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint)
+    return _fps_xla(xyz, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fps_xla(xyz: Array, npoint: int) -> Array:
+    B, N, _ = xyz.shape
+    xyz = lax.stop_gradient(xyz)
+
+    def step(carry, _):
+        mindist, last = carry  # (B, N), (B,)
+        last_xyz = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        d = xyz - last_xyz
+        d2 = jnp.sum(d * d, axis=-1)  # (B, N)
+        mindist = jnp.minimum(mindist, d2)
+        nxt = jnp.argmax(mindist, axis=-1).astype(jnp.int32)  # (B,)
+        return (mindist, nxt), nxt
+
+    init = (jnp.full((B, N), 1e10, dtype=jnp.float32), jnp.zeros((B,), jnp.int32))
+    if npoint == 1:
+        return jnp.zeros((B, 1), jnp.int32)
+    (_, _), rest = lax.scan(step, init, None, length=npoint - 1)
+    first = jnp.zeros((B, 1), jnp.int32)
+    return jnp.concatenate([first, rest.T], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# gather / grouping
+# ---------------------------------------------------------------------------
+
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """points: (B, N, C), idx: (B, M) int -> (B, M, C).
+
+    Channel-last equivalent of the reference `gather_points_wrapper`
+    (`src/sampling_gpu.cu:8-40`); gradient is XLA's deterministic scatter-add.
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: Array, idx: Array) -> Array:
+    """points: (B, N, C), idx: (B, M, S) int -> (B, M, S, C).
+
+    Channel-last equivalent of `group_points_wrapper`
+    (`src/group_points_gpu.cu`).
+    """
+    B, N, C = points.shape
+    _, M, S = idx.shape
+    flat = jnp.take_along_axis(points, idx.reshape(B, M * S, 1).astype(jnp.int32), axis=1)
+    return flat.reshape(B, M, S, C)
+
+
+# ---------------------------------------------------------------------------
+# ball query
+# ---------------------------------------------------------------------------
+
+
+def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
+               chunk: int = 2048) -> Array:
+    """For each center, indices of the first `nsample` points within `radius`.
+
+    xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, nsample) int32.
+
+    Replicates the CUDA slot-filling semantics (`src/ball_query_gpu.cu:29-44`):
+    on the first in-radius hit every slot is pre-filled with that index, later
+    hits overwrite slots in order; centers with no in-radius point keep the
+    zero-initialised indices. Implemented as mask -> prefix-sum rank ->
+    unique-slot scatter (no sequential scan, no atomics).
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    r2 = jnp.float32(radius * radius)
+
+    def one_chunk(centers):  # (B, Cm, 3) -> (B, Cm, nsample)
+        # exact diff-form distances: the radius threshold must not be perturbed
+        # by the matmul expansion's rounding (parity with the CUDA scan)
+        d2 = pairwise_sqdist(centers, xyz, exact=True)  # (B, Cm, N)
+        mask = d2 < r2
+        # rank of each point among in-radius points of its center (1-based)
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+        slot = jnp.where(mask, rank - 1, nsample)  # out-of-range -> dropped col
+        slot = jnp.minimum(slot, nsample)
+        first_hit = jnp.argmax(mask, axis=-1).astype(jnp.int32)  # 0 if none
+        k_ids = lax.broadcasted_iota(jnp.int32, mask.shape, dimension=2)
+
+        def scatter_row(slot_row, first, ks):
+            out = jnp.broadcast_to(first, (nsample + 1,)).astype(jnp.int32)
+            out = out.at[slot_row].set(ks, mode="drop")
+            return out[:nsample]
+
+        return jax.vmap(jax.vmap(scatter_row))(slot, first_hit, k_ids)
+
+    if M <= chunk:
+        return one_chunk(new_xyz)
+    assert M % chunk == 0, f"ball_query: M={M} not divisible by chunk={chunk}"
+    centers = new_xyz.reshape(B, M // chunk, chunk, 3).transpose(1, 0, 2, 3)
+    out = lax.map(one_chunk, centers)  # (M//chunk, B, chunk, nsample)
+    return out.transpose(1, 0, 2, 3).reshape(B, M, nsample)
+
+
+class QueryAndGroupResult(NamedTuple):
+    features: Array  # (B, M, S, 3 + C) or (B, M, S, 3)
+    idx: Array  # (B, M, S)
+
+
+def query_and_group(radius: float, nsample: int, xyz: Array, new_xyz: Array,
+                    features: Optional[Array] = None, use_xyz: bool = True) -> Array:
+    """Ball-query then group, returning centred xyz (+ features), channel-last.
+
+    Reference: `pointnet2_utils.py:232-265` (QueryAndGroup). Output layout is
+    (B, M, S, 3+C) instead of the reference's (B, 3+C, M, S).
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feats = group_points(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        return grouped_feats
+    assert use_xyz, "cannot have no features and not use xyz"
+    return grouped_xyz
+
+
+def group_all(xyz: Array, features: Optional[Array] = None, use_xyz: bool = True) -> Array:
+    """Group the whole set as a single neighbourhood: (B, 1, N, 3 + C).
+
+    Reference: `pointnet2_utils.py:268-291` (GroupAll).
+    """
+    grouped = xyz[:, None, :, :]
+    if features is not None:
+        feats = features[:, None, :, :]
+        if use_xyz:
+            return jnp.concatenate([grouped, feats], axis=-1)
+        return feats
+    return grouped
+
+
+# ---------------------------------------------------------------------------
+# k nearest neighbours / three-NN interpolation
+# ---------------------------------------------------------------------------
+
+
+class KnnResult(NamedTuple):
+    dists: Array  # (B, M, K) squared distances (pytorch3d/chamferdist convention)
+    idx: Array  # (B, M, K) int32
+
+
+def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
+               exact: bool = False) -> KnnResult:
+    """K nearest neighbours of `query` in `points`.
+
+    query: (B, M, 3), points: (B, N, 3) -> dists (B, M, K) SQUARED distances,
+    idx (B, M, K). Matches chamferdist/pytorch3d `knn_points` used by the
+    reference (`modules/mesh_encoder.py:18,321-324`): returns squared
+    distances, ties broken towards lower index.
+    """
+    B, M, _ = query.shape
+
+    def one_chunk(q):
+        d2 = pairwise_sqdist(q, points, exact=exact)
+        neg, idx = lax.top_k(-d2, K)
+        return KnnResult(-neg, idx.astype(jnp.int32))
+
+    if M <= chunk:
+        return one_chunk(query)
+    assert M % chunk == 0, f"knn_points: M={M} not divisible by chunk={chunk}"
+    qs = query.reshape(B, M // chunk, chunk, 3).transpose(1, 0, 2, 3)
+    out = lax.map(one_chunk, qs)
+    dists = out.dists.transpose(1, 0, 2, 3).reshape(B, M, K)
+    idx = out.idx.transpose(1, 0, 2, 3).reshape(B, M, K)
+    return KnnResult(dists, idx)
+
+
+def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
+    """Exact 3 nearest neighbours of `unknown` in `known`.
+
+    unknown: (B, N, 3), known: (B, M, 3) -> (dist (B, N, 3) EUCLIDEAN
+    distances, idx (B, N, 3)). The sqrt matches the reference wrapper
+    (`pointnet2_utils.py:98`), the underlying CUDA kernel keeps squared
+    distances (`src/interpolate_gpu.cu:30-51`).
+    """
+    res = knn_points(unknown, known, K=3, exact=True)
+    return jnp.sqrt(res.dists), res.idx
+
+
+def three_interpolate(features: Array, idx: Array, weight: Array) -> Array:
+    """Weighted interpolation of 3-NN features, channel-last.
+
+    features: (B, M, C), idx: (B, N, 3), weight: (B, N, 3) -> (B, N, C).
+    Differentiable w.r.t. `features` (and `weight`); the reference grad
+    scatter (`src/interpolate_gpu.cu:115-160`) becomes XLA's deterministic
+    gather transpose.
+    """
+    gathered = group_points(features, idx)  # (B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interp_weights_from_dists(dist: Array, eps: float = 1e-8) -> Array:
+    """Inverse-distance weights, normalised; reference `pointnet2_modules.py:139-143`."""
+    recip = 1.0 / (dist + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
