@@ -1,0 +1,187 @@
+"""Posed-stage garment model ("GarmentPCALBS").
+
+Parity with reference `modules/mesh_encoder.py:172-487`
+(PCALBSGarmentUseSegEncoderSeg): frozen canonical encoder, interpolated LBS
+of the canonical garment to every frame, then `iterations` rounds of GCN
+refinement fed by multi-scale query-and-group features from the body surface
+and the stage-1 garment point features, with single-head temporal attention
+mixing information across frames from iteration 2 on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from garment4d_tpu import ops
+from garment4d_tpu.models.assets import GarmentAssets
+from garment4d_tpu.models.canonical import CanonicalGarmentModel, CanonicalOutput
+from garment4d_tpu.models.skinning import LbsResult, lbs_garment_interpolation
+from garment4d_tpu.nn import MLP, GraphConvolution
+
+Array = jax.Array
+
+
+class PosedOutput(NamedTuple):
+    canonical: CanonicalOutput
+    lbs: LbsResult
+    iter_garment_v: tuple  # per-iteration refined garments, each (B, T, Vg, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class BodyInputs:
+    """Per-batch body data consumed by the posed stage (the subset of the
+    reference's 16-key collate dict it reads, `mesh_encoder.py:424-439`)."""
+
+    pose: Array                 # (B, T, 72)
+    smpl_vertices: Array        # (B, T, 6890, 3) posed body
+    tpose_vertices: Array       # (B, 6890, 3)
+    tpose_root_joints: Array    # (B, 3)
+    zeropose_vertices: Array    # (B, T, 6890, 3)
+    J_regressor: Array          # (B, T, 24, 6890)
+    lbs_weights: Array          # (B, T, 6890, 24)
+
+
+jax.tree_util.register_pytree_node(
+    BodyInputs,
+    lambda b: ((b.pose, b.smpl_vertices, b.tpose_vertices, b.tpose_root_joints,
+                b.zeropose_vertices, b.J_regressor, b.lbs_weights), None),
+    lambda _, leaves: BodyInputs(*leaves),
+)
+
+
+class PosedGarmentModel(nn.Module):
+    """Stage 2: canonical garment + SMPL poses -> posed garment sequence."""
+
+    assets: GarmentAssets
+    body_faces: tuple = ()  # static (F, 3) triangle list of the SMPL body
+    lbs_k: int = 256        # cfg.NETWORK.LBSK
+    iterations: int = 3     # cfg.NETWORK.ITERATION
+    feat_num: int = 32
+    hidden_dim: int = 128
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def _radii(self):
+        # reference `mesh_encoder.py:179-188`: trousers overrides sample counts
+        if self.assets.name == "Trousers":
+            return dict(garment_radius=(0.1, 0.2, 0.4), garment_nsample=(32, 8, 4),
+                        body_radius=(0.1, 0.2, 0.4), body_nsample=(8, 16, 32))
+        return dict(garment_radius=(0.1, 0.2, 0.4), garment_nsample=(32, 16, 8),
+                    body_radius=(0.1, 0.2, 0.4), body_nsample=(8, 16, 32))
+
+    @nn.compact
+    def __call__(self, x: Array, body: BodyInputs, train: bool = False) -> PosedOutput:
+        """x: (B, T, N, 3) point-cloud sequence."""
+        B, T, N, _ = x.shape
+        BT = B * T
+        Vg = self.assets.num_verts
+        r = self._radii
+
+        # ---- stage 1, frozen (reference `mesh_encoder.py:416-417`) --------
+        canonical = CanonicalGarmentModel(
+            assets=self.assets, bn_axis_name=self.bn_axis_name,
+            name="canonical")(x, train=False)
+        canonical = jax.tree_util.tree_map(
+            lambda a: jax.lax.stop_gradient(a) if isinstance(a, jax.Array) else a,
+            canonical)
+
+        # ---- body vertex normals ------------------------------------------
+        body_faces = np.asarray(self.body_faces, np.int32)
+        body_v = body.smpl_vertices.reshape(BT, -1, 3)
+        body_vn = ops.vertex_normals(body_v, body_faces)
+
+        # ---- interpolated LBS ---------------------------------------------
+        lbs = lbs_garment_interpolation(
+            canonical.tpose_garment,
+            body.tpose_vertices,
+            body.tpose_root_joints,
+            body.zeropose_vertices,
+            body.pose,
+            body.J_regressor,
+            body.lbs_weights,
+            parents=_SMPL_PARENTS,
+            smooth_op=jnp.asarray(self.assets.smooth_op),
+            K=self.lbs_k,
+        )
+
+        # ---- iterative GCN refinement (reference :450-485) ----------------
+        adj = jnp.asarray(self.assets.gcn_adj)
+        garment_xyz = canonical.garment_xyz        # stage-1 levels (BT, ., 3)
+        garment_feats = canonical.garment_features
+
+        body_pe_mlps = [MLP((self.feat_num, self.feat_num), name=f"body_pe{i}")
+                        for i in range(3)]
+        garment_pe_mlps = [MLP((self.feat_num, self.feat_num), name=f"garment_pe{i}")
+                           for i in range(3)]
+        temporal_qkv = [
+            nn.Dense(self.hidden_dim * 3, use_bias=False, name=f"temporal_qkv{i}")
+            for i in range(self.iterations - 1)
+        ]
+        gcn_stacks = [
+            [GraphConvolution(self.hidden_dim, name=f"gcn{r_}_0"),
+             GraphConvolution(self.hidden_dim, name=f"gcn{r_}_1"),
+             GraphConvolution(self.hidden_dim, name=f"gcn{r_}_2"),
+             GraphConvolution(3, name=f"gcn{r_}_3")]
+            for r_ in range(self.iterations)
+        ]
+
+        cur_garment_v = lbs.posed_garment.reshape(BT, Vg, 3)
+        iter_results = []
+        hidden_feats = []  # per-iteration 128-d feature after the 3rd GCN layer
+        for it in range(self.iterations):
+            pe_list = [cur_garment_v]
+            for i in range(3):
+                qg = ops.query_and_group(
+                    r["body_radius"][i], r["body_nsample"][i],
+                    xyz=body_v, new_xyz=cur_garment_v, features=body_vn)
+                pe = jnp.max(body_pe_mlps[i](qg), axis=-2)  # (BT, Vg, 32)
+                pe_list.append(pe)
+            for i in range(3):
+                qg = ops.query_and_group(
+                    r["garment_radius"][i], r["garment_nsample"][i],
+                    xyz=garment_xyz[i], new_xyz=cur_garment_v,
+                    features=garment_feats[i])
+                pe = jnp.max(garment_pe_mlps[i](qg), axis=-2)
+                pe_list.append(pe)
+            feat = jnp.concatenate(pe_list, axis=-1)  # (BT, Vg, 3 + 6*32)
+
+            if it > 0:
+                last = hidden_feats[-1].reshape(B, T, Vg, self.hidden_dim)
+                qkv = temporal_qkv[it - 1](last)  # (B, T, Vg, 384)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q = q.reshape(B, T, Vg * self.hidden_dim)
+                k = k.reshape(B, T, Vg * self.hidden_dim)
+                v = v.reshape(B, T, Vg * self.hidden_dim)
+                qk = jnp.einsum("btd,bsd->bts", q, k,
+                                preferred_element_type=jnp.float32) / np.sqrt(T)
+                attn = jax.nn.softmax(qk, axis=-1)
+                mixed = jnp.einsum("bts,bsd->btd", attn, v,
+                                   preferred_element_type=jnp.float32)
+                mixed = mixed.reshape(BT, Vg, self.hidden_dim)
+                feat = jnp.concatenate([feat, mixed], axis=-1)
+
+            h = feat
+            for li, layer in enumerate(gcn_stacks[it]):
+                h = layer(h, adj)
+                if li != len(gcn_stacks[it]) - 1:
+                    h = jax.nn.relu(h)
+                if li == len(gcn_stacks[it]) - 2:
+                    hidden_feats.append(h)  # the 128-d feature temporal attn reads
+            cur_garment_v = cur_garment_v + h
+            iter_results.append(cur_garment_v.reshape(B, T, Vg, 3))
+
+        return PosedOutput(canonical=canonical, lbs=lbs,
+                           iter_garment_v=tuple(iter_results))
+
+
+# SMPL kinematic tree (static); identical to smplx kintree_table[0]
+_SMPL_PARENTS = np.array(
+    [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+     18, 19, 20, 21], np.int64)

@@ -1,0 +1,176 @@
+"""Interpolated linear-blend-skinning of the canonical garment.
+
+Parity with reference `modules/mesh_encoder.py:312-410`
+(`lbs_garment_interpolation`): K-NN transfer of SMPL skinning weights from
+the T-pose body to the garment vertices, un-pose to zero-pose, re-pose to
+every frame; the reference's 100-iteration sparse weight-smoothing loop is
+applied as one precomputed dense matmul (`ops.graph.smoothing_operator`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from garment4d_tpu import ops
+from garment4d_tpu.smpl import (
+    batch_rigid_transform,
+    batch_rodrigues,
+    vertices2joints_b,
+)
+
+Array = jax.Array
+
+_MM = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+class LbsResult(NamedTuple):
+    posed_garment: Array      # (B, T, Vg, 3)
+    nn_idx: Array             # (B, Vg, 1) nearest body vertex (diagnostics)
+    unposed_garment: Array    # (B, T, Vg, 3) stage-1 zero-pose garment
+
+
+def _inverse_template_pose(batch: int) -> Array:
+    """The fixed 'template pose' inverse: root x-rot -pi/2, hips +/-0.15
+    (reference `mesh_encoder.py:326-330`)."""
+    pose = jnp.zeros((batch, 24, 3))
+    pose = pose.at[:, 0, 0].set(-np.pi / 2)
+    pose = pose.at[:, 1, 1].set(0.15)
+    pose = pose.at[:, 2, 1].set(-0.15)
+    return pose
+
+
+def _interp_weights(dists: Array) -> Array:
+    """1/d^2 interpolation weights with the reference's inf handling
+    (`mesh_encoder.py:341-345,374-378`): zero infs, normalise, zero infs."""
+    w = 1.0 / dists  # dists are squared knn distances
+    w = jnp.where(jnp.isinf(w), 0.0, w)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.where(jnp.isinf(w), 0.0, w)
+
+
+def lbs_garment_interpolation(
+    pred_template_garment_v: Array,   # (B, Vg, 3)
+    tpose_vertices: Array,            # (B, 6890, 3)
+    tpose_root_joints: Array,         # (B, 3)
+    zeropose_vertices: Array,         # (B, T, 6890, 3)
+    gt_pose: Array,                   # (B, T, 72) axis-angle
+    T_J_regressor: Array,             # (B, T, 24, 6890)
+    T_lbs_weights: Array,             # (B, T, 6890, 24)
+    parents: np.ndarray,              # (24,) static
+    smooth_op: Array,                 # (Vg, Vg) precomputed diffusion operator
+    K: int,
+) -> LbsResult:
+    B, Vg, _ = pred_template_garment_v.shape
+    T = gt_pose.shape[1]
+    J = T_J_regressor.shape[2]
+    BT = B * T
+
+    pose_mat = batch_rodrigues(gt_pose.reshape(BT, J, 3))
+
+    root_garment = pred_template_garment_v + tpose_root_joints[:, None, :]
+    K64 = min(64, K)
+    nnk = ops.knn_points(root_garment, tpose_vertices, K=K)
+    nn64 = nnk if K64 == K else ops.knn_points(root_garment, tpose_vertices, K=K64)
+    nn1 = ops.knn_points(root_garment, tpose_vertices, K=1)
+
+    # ---- un-pose: invert the fixed template pose -------------------------
+    inv_pose_mat = batch_rodrigues(_inverse_template_pose(B))
+    inv_J = vertices2joints_b(T_J_regressor[:, 0], tpose_vertices)
+    _, inv_A = batch_rigid_transform(inv_pose_mat, inv_J, parents)
+
+    w0 = T_lbs_weights[:, 0]  # (B, 6890, J)
+    inv_nn_W = ops.group_points(w0, nn64.idx)  # (B, Vg, K64, J)
+    iw64 = _interp_weights(nn64.dists)[..., None]  # (B, Vg, K64, 1)
+    inv_nn_W = jnp.sum(inv_nn_W * iw64, axis=-2)  # (B, Vg, J)
+    inv_T = jnp.einsum("bvj,bjpq->bvpq", inv_nn_W, inv_A, **_MM)
+    unposed = (
+        jnp.einsum("bvpq,bvq->bvp", inv_T[:, :, :3, :3], root_garment, **_MM)
+        + inv_T[:, :, :3, 3]
+    )  # (B, Vg, 3)
+    unposed_bt = jnp.broadcast_to(unposed[:, None], (B, T, Vg, 3)).reshape(BT, Vg, 3)
+
+    # ---- re-pose to every frame -----------------------------------------
+    zero_v = zeropose_vertices.reshape(BT, -1, 3)
+    J_pos = vertices2joints_b(T_J_regressor.reshape(BT, J, -1), zero_v)
+    _, A = batch_rigid_transform(pose_mat, J_pos, parents)
+
+    iw = _interp_weights(nnk.dists)[..., None]  # (B, Vg, K, 1)
+    w_bt = T_lbs_weights.reshape(BT, -1, J)
+    idx_bt = jnp.broadcast_to(nnk.idx[:, None], (B, T, Vg, K)).reshape(BT, Vg, K)
+    nn_W = ops.group_points(w_bt, idx_bt)  # (BT, Vg, K, J)
+    iw_bt = jnp.broadcast_to(iw[:, None], (B, T, Vg, K, 1)).reshape(BT, Vg, K, 1)
+    nn_W = jnp.sum(nn_W * iw_bt, axis=-2)  # (BT, Vg, J)
+
+    if K > 1:
+        # 100-step weight diffusion == one precomputed dense operator
+        nn_W = jnp.einsum("vw,bwj->bvj", smooth_op, nn_W, **_MM)
+
+    T_mat = jnp.einsum("bvj,bjpq->bvpq", nn_W, A, **_MM)  # (BT, Vg, 4, 4)
+    posed = (
+        jnp.einsum("bvpq,bvq->bvp", T_mat[:, :, :3, :3], unposed_bt, **_MM)
+        + T_mat[:, :, :3, 3]
+    )
+
+    return LbsResult(
+        posed_garment=posed.reshape(B, T, Vg, 3),
+        nn_idx=nn1.idx,
+        unposed_garment=unposed_bt.reshape(B, T, Vg, 3),
+    )
+
+
+def lbs_garment_single_nn(
+    pred_garment_v: Array,            # (B, T, Vg, 3) per-frame canonical + disp
+    tpose_vertices: Array,            # (B, 6890, 3)
+    tpose_root_joints: Array,         # (B, 3)
+    zeropose_vertices: Array,         # (B, T, 6890, 3)
+    gt_pose: Array,                   # (B, T, 72)
+    T_J_regressor: Array,             # (B, T, 24, 6890)
+    T_lbs_weights: Array,             # (B, T, 6890, 24)
+    parents: np.ndarray,
+) -> LbsResult:
+    """K=1 MGN-baseline variant (reference `mesh_encoder.py:529-585`):
+    per-vertex transform of the single nearest body vertex, no interpolation,
+    no smoothing; the garment input is per-frame (canonical + displacement)."""
+    B, T, Vg, _ = pred_garment_v.shape
+    J = T_J_regressor.shape[2]
+    BT = B * T
+
+    pose_mat = batch_rodrigues(gt_pose.reshape(BT, J, 3))
+    root_garment = (pred_garment_v + tpose_root_joints[:, None, None, :]).reshape(BT, Vg, 3)
+    tpose_bt = jnp.broadcast_to(
+        tpose_vertices[:, None], (B, T, *tpose_vertices.shape[1:])).reshape(BT, -1, 3)
+    nn1 = ops.knn_points(root_garment, tpose_bt, K=1)
+
+    inv_pose_mat = batch_rodrigues(_inverse_template_pose(BT))
+    inv_J = vertices2joints_b(T_J_regressor.reshape(BT, J, -1), tpose_bt)
+    _, inv_A = batch_rigid_transform(inv_pose_mat, inv_J, parents)
+
+    w_bt = T_lbs_weights.reshape(BT, -1, J)
+    inv_T_all = jnp.einsum("bvj,bjpq->bvpq", w_bt, inv_A, **_MM)  # (BT, 6890, 4, 4)
+    inv_T = ops.group_points(
+        inv_T_all.reshape(BT, -1, 16), nn1.idx).reshape(BT, Vg, 4, 4)
+    unposed = (
+        jnp.einsum("bvpq,bvq->bvp", inv_T[:, :, :3, :3], root_garment, **_MM)
+        + inv_T[:, :, :3, 3]
+    )
+
+    zero_v = zeropose_vertices.reshape(BT, -1, 3)
+    J_pos = vertices2joints_b(T_J_regressor.reshape(BT, J, -1), zero_v)
+    _, A = batch_rigid_transform(pose_mat, J_pos, parents)
+    T_all = jnp.einsum("bvj,bjpq->bvpq", w_bt, A, **_MM)
+    T_nn = ops.group_points(
+        T_all.reshape(BT, -1, 16), nn1.idx).reshape(BT, Vg, 4, 4)
+    posed = (
+        jnp.einsum("bvpq,bvq->bvp", T_nn[:, :, :3, :3], unposed, **_MM)
+        + T_nn[:, :, :3, 3]
+    )
+    return LbsResult(
+        posed_garment=posed.reshape(B, T, Vg, 3),
+        nn_idx=nn1.idx,
+        unposed_garment=unposed.reshape(B, T, Vg, 3),
+    )

@@ -1,0 +1,117 @@
+"""NN building blocks (flax.linen), channel-last.
+
+TPU-native equivalents of the reference's L2 layer
+(`modules/pointnet2/pointnet2/pytorch_utils.py` SharedMLP/Conv1d/Conv2d/FC and
+`modules/pygcn/layers.py` GraphConvolution): 1x1 convolutions become plain
+dense matmuls over the trailing channel axis (the MXU-friendly layout), and
+the sparse GCN adjacency multiply becomes a dense MXU matmul.
+
+BatchNorm matches torch semantics used by the reference (momentum 0.1 torch
+== 0.9 flax, eps 1e-5, affine, running stats); pass `axis_name` to get the
+SyncBatchNorm equivalent via a cross-replica psum (reference
+`train_temporal.py:118-119`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from garment4d_tpu.ops import graph_matmul
+
+Array = jax.Array
+
+
+class ConvBNRelu(nn.Module):
+    """Dense (=1x1 conv) + optional BatchNorm + optional ReLU over the last axis.
+
+    Equivalent of `pytorch_utils.Conv1d/Conv2d` blocks (kernel 1, kaiming
+    init, bias only when bn is off; `pytorch_utils.py:35-101,126-197`).
+    """
+
+    features: int
+    bn: bool = True
+    relu: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Dense(
+            self.features,
+            use_bias=not self.bn,
+            kernel_init=nn.initializers.kaiming_normal(),
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.bn_axis_name,
+                name="bn",
+            )(x)
+        if self.relu:
+            x = jax.nn.relu(x)
+        return x
+
+
+class SharedMLP(nn.Module):
+    """Stack of ConvBNRelu blocks (reference `pytorch_utils.py:5-33`).
+
+    `widths` are the output widths of each layer (the reference spec's leading
+    input dim is inferred by flax).
+    """
+
+    widths: Sequence[int]
+    bn: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for i, w in enumerate(self.widths):
+            x = ConvBNRelu(w, bn=self.bn, bn_axis_name=self.bn_axis_name,
+                           name=f"layer{i}")(x, train=train)
+        return x
+
+
+class MLP(nn.Module):
+    """Plain Linear/ReLU stack (positional-encoding MLPs,
+    reference `mesh_encoder.py:205-258`)."""
+
+    widths: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w, name=f"linear{i}")(x)
+            if i != len(self.widths) - 1:
+                x = jax.nn.relu(x)
+        return x
+
+
+class GraphConvolution(nn.Module):
+    """GCN layer: adj @ (x @ W) + b with U(-1/sqrt(F), 1/sqrt(F)) init.
+
+    Reference `modules/pygcn/layers.py:15-58`; the batched spmm reshape trick
+    becomes a single dense einsum on the MXU.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, adj: Array) -> Array:
+        in_features = x.shape[-1]
+        stdv = 1.0 / (self.features ** 0.5)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        weight = self.param("weight", init, (in_features, self.features))
+        bias = self.param("bias", init, (self.features,))
+        support = jnp.einsum("...vc,cf->...vf", x, weight,
+                             preferred_element_type=jnp.float32)
+        out = graph_matmul(adj, support)
+        return out + bias

@@ -1,0 +1,101 @@
+"""PointNet++ set-abstraction and feature-propagation modules.
+
+Channel-last re-design of the reference's L2 modules
+(`modules/pointnet2/pointnet2/pointnet2_modules.py`): FPS -> gather ->
+ball-query group -> SharedMLP -> max-pool per scale; three-NN inverse-distance
+interpolation for upsampling. All neighbourhood tensors are (B, M, S, C) so
+the MLPs are dense matmuls over the last axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from garment4d_tpu import ops
+from garment4d_tpu.nn.layers import SharedMLP
+
+Array = jax.Array
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference
+    `pointnet2_modules.py:10-92`).
+
+    npoint=None means "group all" (single global neighbourhood,
+    reference `PointnetSAModule` with `GroupAll`).
+    """
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # output widths per scale (input inferred)
+    use_xyz: bool = True
+    bn: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz: Array, features: Optional[Array],
+                 train: bool = False,
+                 new_xyz: Optional[Array] = None) -> Tuple[Optional[Array], Array]:
+        """xyz: (B, N, 3); features: (B, N, C) or None ->
+        (new_xyz (B, npoint, 3) | None, new_features (B, npoint, sum C_out))."""
+        if new_xyz is None and self.npoint is not None:
+            idx = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, idx)
+
+        outs = []
+        for i in range(len(self.mlps)):
+            if self.npoint is not None:
+                grouped = ops.query_and_group(
+                    self.radii[i], self.nsamples[i], xyz, new_xyz, features,
+                    use_xyz=self.use_xyz)  # (B, M, S, 3+C)
+            else:
+                grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+            feat = SharedMLP(self.mlps[i], bn=self.bn,
+                             bn_axis_name=self.bn_axis_name,
+                             name=f"mlp{i}")(grouped, train=train)
+            outs.append(jnp.max(feat, axis=2))  # max over samples
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class SAModule(SAModuleMSG):
+    """Single-scale convenience wrapper (reference `pointnet2_modules.py:95-113`)."""
+
+    @classmethod
+    def create(cls, *, mlp, npoint=None, radius=None, nsample=None, **kw):
+        return cls(npoint=npoint, radii=[radius], nsamples=[nsample],
+                   mlps=[mlp], **kw)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance interpolation + SharedMLP
+    (reference `pointnet2_modules.py:116-156`)."""
+
+    mlp: Sequence[int]
+    bn: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, unknown: Array, known: Optional[Array],
+                 unknown_feats: Optional[Array], known_feats: Array,
+                 train: bool = False) -> Array:
+        """unknown: (B, N, 3), known: (B, M, 3), unknown_feats: (B, N, C1)|None,
+        known_feats: (B, M, C2) -> (B, N, mlp[-1])."""
+        if known is not None:
+            dist, idx = ops.three_nn(unknown, known)
+            weight = ops.interp_weights_from_dists(dist)
+            interpolated = ops.three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1]))
+
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        return SharedMLP(self.mlp, bn=self.bn, bn_axis_name=self.bn_axis_name,
+                         name="mlp")(new_features, train=train)

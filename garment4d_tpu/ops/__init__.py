@@ -16,6 +16,12 @@ from garment4d_tpu.ops.pointcloud import (
     three_interpolate,
     three_nn,
 )
+from garment4d_tpu.ops.meshmath import (
+    cot_laplacian_apply,
+    cotangent_weights,
+    face_normals,
+    vertex_normals,
+)
 from garment4d_tpu.ops.graph import (
     build_mesh_adjacency,
     gcn_adjacency,
@@ -38,6 +44,10 @@ __all__ = [
     "query_and_group",
     "three_interpolate",
     "three_nn",
+    "cot_laplacian_apply",
+    "cotangent_weights",
+    "face_normals",
+    "vertex_normals",
     "build_mesh_adjacency",
     "gcn_adjacency",
     "graph_matmul",

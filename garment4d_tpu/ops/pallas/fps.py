@@ -30,8 +30,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(xyz_ref, out_ref, temp_ref, *, n_valid: int, npoint: int):
-    # xyz_ref: (1, 3, Np) VMEM; out_ref: (1, npoint) int32; temp_ref: (1, Np) f32
+    # xyz_ref: (1, 3, Np) VMEM; out_ref: (1, 1, Mp) int32; temp_ref: (1, Np) f32
     n_pad = xyz_ref.shape[-1]
+    m_pad = out_ref.shape[-1]
     lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), dimension=1)
     valid = lane < n_valid
 
@@ -40,8 +41,8 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, n_valid: int, npoint: int):
     z = xyz_ref[0, 2:3, :]
 
     temp_ref[:] = jnp.where(valid, 1e10, -1.0)
-    out_slot = lax.broadcasted_iota(jnp.int32, (1, npoint), dimension=1)
-    out_ref[:] = jnp.zeros((1, npoint), jnp.int32)
+    out_slot = lax.broadcasted_iota(jnp.int32, (1, m_pad), dimension=1)
+    out_ref[0] = jnp.zeros((1, m_pad), jnp.int32)
 
     def body(j, last):
         onehot = (lane == last).astype(jnp.float32)
@@ -52,7 +53,7 @@ def _fps_kernel(xyz_ref, out_ref, temp_ref, *, n_valid: int, npoint: int):
         t = jnp.minimum(temp_ref[:], jnp.where(valid, d2, -1.0))
         temp_ref[:] = t
         nxt = jnp.argmax(t, axis=-1)[0].astype(jnp.int32)
-        out_ref[:] = jnp.where(out_slot == j, nxt, out_ref[:])
+        out_ref[0] = jnp.where(out_slot == j, nxt, out_ref[0])
         return nxt
 
     lax.fori_loop(1, npoint, body, jnp.int32(0))
@@ -67,12 +68,14 @@ def fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     if n_pad != N:
         xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
 
+    m_pad = _round_up(npoint, 128)
     kernel = functools.partial(_fps_kernel, n_valid=N, npoint=npoint)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
     )(xyz_t)
+    return out[:, 0, :npoint]

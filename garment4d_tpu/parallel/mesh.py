@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP distributed runtime
+(`utils/train_utils.py:49-92`, SURVEY.md 2.6): a single-controller
+`jax.sharding.Mesh` with one data-parallel axis over which the sequence batch
+is sharded; gradients and metrics are reduced by XLA collectives inserted by
+`jit` - no process groups, no filesystem all-reduce.
+
+BatchNorm under pjit computes its statistics over the *global* batch
+automatically (XLA inserts the cross-device reductions), which subsumes the
+reference's SyncBatchNorm flag.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (sequence-batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place every array in a batch dict/pytree with its leading dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def check_batch_divisible(batch_size: int, mesh: Mesh,
+                          axis_name: str = DATA_AXIS) -> None:
+    n = mesh.shape[axis_name]
+    assert batch_size % n == 0, (
+        f"global batch {batch_size} not divisible by mesh axis '{axis_name}'={n}"
+        " (parity with reference utils/train_utils.py:70-73)")

@@ -1,0 +1,107 @@
+"""Jitted train / eval steps for both stages.
+
+The whole step (forward, losses, backward, Adam update, metric means) is one
+XLA program; under a data-parallel mesh the batch axis is sharded and XLA
+inserts the gradient/metric all-reduces (replacing the reference's DDP
+all-reduce + pickle-file metric merge, `utils/train_utils.py:213-237`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from garment4d_tpu import losses as L
+from garment4d_tpu.models import BodyInputs
+from garment4d_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def body_inputs_from_batch(batch: Dict[str, Array]) -> BodyInputs:
+    return BodyInputs(
+        pose=batch["pose"],
+        smpl_vertices=batch["smpl_vertices"],
+        tpose_vertices=batch["tpose_smpl_vertices"],
+        tpose_root_joints=batch["tpose_smpl_root_joints"],
+        zeropose_vertices=batch["zeropose_smpl_vertices"],
+        J_regressor=batch["J_regressor"],
+        lbs_weights=batch["lbs_weights"],
+    )
+
+
+def make_canonical_steps(model, assets, body_faces: np.ndarray,
+                         weights: Optional[L.LossWeights] = None,
+                         only_seg: bool = False):
+    """Returns (train_step, eval_step) for the canonical stage."""
+    weights = weights or L.LossWeights()
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["pcd"], train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"])
+        loss_dict = L.canonical_stage_loss(
+            out, batch, assets.faces_tri, body_faces, weights, only_seg=only_seg)
+        return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch, dropout_rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss_dict, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, dropout_rng)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, loss_dict
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["pcd"], train=False)
+        return L.canonical_stage_loss(
+            out, batch, assets.faces_tri, body_faces, weights, only_seg=only_seg)
+
+    return train_step, eval_step
+
+
+def make_posed_steps(model, assets, body_faces: np.ndarray,
+                     weights: Optional[L.LossWeights] = None):
+    """Returns (train_step, eval_step) for the posed stage. The canonical
+    encoder's BatchNorm stays in inference mode inside the posed model
+    (reference freezes its BN when --fix_PCA, `train_temporal.py:227-233`)."""
+    weights = weights or L.LossWeights()
+    lap_adj = jnp.asarray(assets.lap_adj)
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["pcd"], body_inputs_from_batch(batch), train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"])
+        loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
+        return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch, dropout_rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss_dict, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, dropout_rng)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, loss_dict
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["pcd"], body_inputs_from_batch(batch), train=False)
+        return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
+
+    return train_step, eval_step

@@ -1,0 +1,150 @@
+"""End-to-end model forward tests on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from garment4d_tpu import losses, smpl
+from garment4d_tpu.data.synthetic import make_batch
+from garment4d_tpu.models import (
+    BodyInputs,
+    CanonicalGarmentModel,
+    GarmentAssets,
+    PosedGarmentModel,
+    select_garment_points,
+)
+
+B, T, N = 1, 3, 2048
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return GarmentAssets.synthetic(num_rings=12, ring_size=16)  # Vg=192
+
+
+@pytest.fixture(scope="module")
+def body_model():
+    return smpl.synthetic_smpl(num_verts=400)
+
+
+@pytest.fixture(scope="module")
+def batch(assets, body_model):
+    return make_batch(assets, body_model, batch_size=B, T=T, npoints=N)
+
+
+class TestSelectGarmentPoints:
+    def test_matches_python_loop(self, rng):
+        n = 8
+        xyz = jnp.asarray(rng.randn(3, 20, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(3, 20, 5).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 3, size=(3, 20)))
+        sel_xyz, sel_feat = select_garment_points(xyz, feats, labels, 1, n)
+        for b in range(3):
+            mask = np.asarray(labels[b]) == 1
+            want = np.asarray(xyz[b])[mask][:n]
+            want = np.concatenate([want, np.zeros((n - len(want), 3), np.float32)])
+            np.testing.assert_array_equal(np.asarray(sel_xyz[b]), want)
+            wantf = np.asarray(feats[b])[mask][:n]
+            wantf = np.concatenate([wantf, np.zeros((n - len(wantf), 5), np.float32)])
+            np.testing.assert_array_equal(np.asarray(sel_feat[b]), wantf)
+
+
+class TestCanonicalModel:
+    def test_forward_shapes_and_loss(self, assets, body_model, batch):
+        model = CanonicalGarmentModel(assets=assets)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, batch["pcd"], train=False)
+        out = model.apply(variables, batch["pcd"], train=False)
+
+        Vg = assets.num_verts
+        assert out.backbone.sem_logits.shape == (B * T, N, 7)
+        assert out.garment_xyz[0].shape == (B * T, N // 4, 3)
+        assert out.garment_summary.shape == (B, T, 512)
+        assert out.pca_coeff.shape == (B, assets.pca_dim)
+        assert out.tpose_garment.shape == (B, Vg, 3)
+        assert np.isfinite(np.asarray(out.tpose_garment)).all()
+
+        loss_dict = losses.canonical_stage_loss(
+            out, batch, assets.faces_tri, body_model.faces,
+            losses.LossWeights())
+        for k, v in loss_dict.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        assert np.asarray(loss_dict["total_loss"]) > 0
+
+    def test_train_mode_updates_batch_stats(self, assets, batch):
+        model = CanonicalGarmentModel(assets=assets)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, batch["pcd"], train=False)
+        out, mutated = model.apply(
+            variables, batch["pcd"], train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after))
+        assert changed
+
+
+class TestPosedModel:
+    def test_forward_shapes_and_loss(self, assets, body_model, batch):
+        model = PosedGarmentModel(
+            assets=assets,
+            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            lbs_k=8, iterations=3)
+        body = BodyInputs(
+            pose=batch["pose"],
+            smpl_vertices=batch["smpl_vertices"],
+            tpose_vertices=batch["tpose_smpl_vertices"],
+            tpose_root_joints=batch["tpose_smpl_root_joints"],
+            zeropose_vertices=batch["zeropose_smpl_vertices"],
+            J_regressor=batch["J_regressor"],
+            lbs_weights=batch["lbs_weights"],
+        )
+        key = jax.random.PRNGKey(0)
+        variables = model.init(key, batch["pcd"], body, train=False)
+        out = model.apply(variables, batch["pcd"], body, train=False)
+
+        Vg = assets.num_verts
+        assert out.lbs.posed_garment.shape == (B, T, Vg, 3)
+        assert len(out.iter_garment_v) == 3
+        assert out.iter_garment_v[-1].shape == (B, T, Vg, 3)
+        assert np.isfinite(np.asarray(out.iter_garment_v[-1])).all()
+
+        loss_dict = losses.posed_stage_loss(
+            out, batch, jnp.asarray(assets.lap_adj), body_model.faces,
+            losses.LossWeights())
+        for k, v in loss_dict.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        assert np.asarray(loss_dict["lbs_garment_msre"]) >= 0
+
+    def test_gradients_skip_canonical(self, assets, body_model, batch):
+        model = PosedGarmentModel(
+            assets=assets,
+            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            lbs_k=4, iterations=2)
+        body = BodyInputs(
+            pose=batch["pose"],
+            smpl_vertices=batch["smpl_vertices"],
+            tpose_vertices=batch["tpose_smpl_vertices"],
+            tpose_root_joints=batch["tpose_smpl_root_joints"],
+            zeropose_vertices=batch["zeropose_smpl_vertices"],
+            J_regressor=batch["J_regressor"],
+            lbs_weights=batch["lbs_weights"],
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+
+        def loss_fn(params):
+            out = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                              batch["pcd"], body, train=False)
+            return losses.vertex_l2_loss(
+                out.iter_garment_v[-1], batch["garment"])
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        canon_norms = [np.abs(np.asarray(g)).max() for p, g in flat if "canonical" in str(p)]
+        other_norms = [np.abs(np.asarray(g)).max() for p, g in flat if "canonical" not in str(p)]
+        # frozen stage-1: zero grads; stage-2 GCN gets real grads
+        assert max(canon_norms) == 0.0
+        assert max(other_norms) > 0.0
