@@ -40,20 +40,25 @@ def main():
 
     batch = make_batch(assets, body_model, batch_size=B, T=T, npoints=N)
     body = body_inputs_from_batch(batch)
-    variables = model.init(jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["pcd"], body, train=False)
 
     @jax.jit
     def forward(pcd, body):
         return model.apply(variables, pcd, body, train=False).iter_garment_v[-1]
 
-    # warm-up / compile
-    forward(batch["pcd"], body).block_until_ready()
+    def run_once(pcd):
+        out = forward(pcd, body)
+        # force completion with a host fetch (block_until_ready is unreliable
+        # through the axon relay); fetch cost ~30 ms, negligible vs the step
+        return float(np.asarray(out[0, 0, 0, 0]))
+
+    run_once(batch["pcd"])  # warm-up / compile
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(batch["pcd"], body)
-    out.block_until_ready()
+        run_once(batch["pcd"])
     dt = (time.perf_counter() - t0) / iters
 
     frames_per_sec = B * T / dt

@@ -37,18 +37,20 @@ def select_garment_points(xyz: Array, features: Array, labels: Array,
     zero-pad when fewer.
     """
     mask = labels == garment_label  # (B, N)
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
-    slot = jnp.where(mask, rank - 1, n)
-    slot = jnp.minimum(slot, n)  # (B, N); n -> dropped row
-
-    def scatter_rows(slot_row, values):
-        out = jnp.zeros((n + 1, values.shape[-1]), values.dtype)
-        out = out.at[slot_row].set(values, mode="drop")
-        return out[:n]
-
-    sel_xyz = jax.vmap(scatter_rows)(slot, xyz)
-    sel_feat = jax.vmap(scatter_rows)(slot, features)
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    targets = jnp.arange(1, n + 1, dtype=jnp.int32)
+    # "index of the (s+1)-th garment point" via searchsorted on the monotone
+    # cumulative count (gathers, not serialised scatters)
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
+    valid = targets[None, :] <= cum[:, -1:]  # (B, n)
+    idx = jnp.where(valid, idx, 0).astype(jnp.int32)
+    sel_xyz = jnp.where(valid[..., None], gather_points_local(xyz, idx), 0.0)
+    sel_feat = jnp.where(valid[..., None], gather_points_local(features, idx), 0.0)
     return sel_xyz, sel_feat
+
+
+def gather_points_local(points: Array, idx: Array) -> Array:
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
 
 
 class CanonicalOutput(NamedTuple):

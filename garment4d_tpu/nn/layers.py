@@ -35,13 +35,15 @@ class ConvBNRelu(nn.Module):
     features: int
     bn: bool = True
     relu: bool = True
+    bias: Optional[bool] = None  # default: bias only when bn is off
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        use_bias = self.bias if self.bias is not None else not self.bn
         x = nn.Dense(
             self.features,
-            use_bias=not self.bn,
+            use_bias=use_bias,
             kernel_init=nn.initializers.kaiming_normal(),
             name="conv",
         )(x)

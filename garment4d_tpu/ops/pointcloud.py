@@ -131,7 +131,7 @@ def group_points(points: Array, idx: Array) -> Array:
 
 
 def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
-               chunk: int = 2048) -> Array:
+               chunk: int = 1024) -> Array:
     """For each center, indices of the first `nsample` points within `radius`.
 
     xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, nsample) int32.
@@ -146,31 +146,35 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     M = new_xyz.shape[1]
     r2 = jnp.float32(radius * radius)
 
+    targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+
     def one_chunk(centers):  # (B, Cm, 3) -> (B, Cm, nsample)
-        # exact diff-form distances: the radius threshold must not be perturbed
-        # by the matmul expansion's rounding (parity with the CUDA scan)
-        d2 = pairwise_sqdist(centers, xyz, exact=True)  # (B, Cm, N)
+        # MXU-form distances (full-f32 accumulation): ~1e-6 absolute error vs
+        # the diff-form scan, materialises (B, Cm, N) instead of (B, Cm, N, 3)
+        d2 = pairwise_sqdist(centers, xyz)  # (B, Cm, N)
         mask = d2 < r2
-        # rank of each point among in-radius points of its center (1-based)
-        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
-        slot = jnp.where(mask, rank - 1, nsample)  # out-of-range -> dropped col
-        slot = jnp.minimum(slot, nsample)
-        first_hit = jnp.argmax(mask, axis=-1).astype(jnp.int32)  # 0 if none
-        k_ids = lax.broadcasted_iota(jnp.int32, mask.shape, dimension=2)
-
-        def scatter_row(slot_row, first, ks):
-            out = jnp.broadcast_to(first, (nsample + 1,)).astype(jnp.int32)
-            out = out.at[slot_row].set(ks, mode="drop")
-            return out[:nsample]
-
-        return jax.vmap(jax.vmap(scatter_row))(slot, first_hit, k_ids)
+        # cumulative hit count is monotone, so "index of the (s+1)-th hit" is
+        # searchsorted(cum, s+1) == sum(cum < s+1): a dense vectorised
+        # reduction over N (VPU-friendly; no serialised scatters, no
+        # scalar-granularity binary-search gathers)
+        cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # (B, Cm, N)
+        idx = jnp.sum(
+            (cum[..., :, None] < targets).astype(jnp.int32), axis=-2,
+            dtype=jnp.int32)  # (B, Cm, nsample)
+        cnt = cum[..., -1]  # hits per center
+        first_hit = jnp.where(cnt > 0, jnp.argmax(mask, axis=-1), 0).astype(jnp.int32)
+        # slots beyond the hit count replicate the first hit (CUDA semantics);
+        # centers with no hits keep index 0
+        return jnp.where(targets[None, None, :] <= cnt[..., None],
+                         idx, first_hit[..., None])
 
     if M <= chunk:
         return one_chunk(new_xyz)
-    assert M % chunk == 0, f"ball_query: M={M} not divisible by chunk={chunk}"
-    centers = new_xyz.reshape(B, M // chunk, chunk, 3).transpose(1, 0, 2, 3)
-    out = lax.map(one_chunk, centers)  # (M//chunk, B, chunk, nsample)
-    return out.transpose(1, 0, 2, 3).reshape(B, M, nsample)
+    M_pad = ((M + chunk - 1) // chunk) * chunk
+    padded = jnp.pad(new_xyz, ((0, 0), (0, M_pad - M), (0, 0)))
+    centers = padded.reshape(B, M_pad // chunk, chunk, 3).transpose(1, 0, 2, 3)
+    out = lax.map(one_chunk, centers)  # (M_pad//chunk, B, chunk, nsample)
+    return out.transpose(1, 0, 2, 3).reshape(B, M_pad, nsample)[:, :M]
 
 
 class QueryAndGroupResult(NamedTuple):
@@ -238,11 +242,12 @@ def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
 
     if M <= chunk:
         return one_chunk(query)
-    assert M % chunk == 0, f"knn_points: M={M} not divisible by chunk={chunk}"
-    qs = query.reshape(B, M // chunk, chunk, 3).transpose(1, 0, 2, 3)
+    M_pad = ((M + chunk - 1) // chunk) * chunk
+    padded = jnp.pad(query, ((0, 0), (0, M_pad - M), (0, 0)))
+    qs = padded.reshape(B, M_pad // chunk, chunk, 3).transpose(1, 0, 2, 3)
     out = lax.map(one_chunk, qs)
-    dists = out.dists.transpose(1, 0, 2, 3).reshape(B, M, K)
-    idx = out.idx.transpose(1, 0, 2, 3).reshape(B, M, K)
+    dists = out.dists.transpose(1, 0, 2, 3).reshape(B, M_pad, K)[:, :M]
+    idx = out.idx.transpose(1, 0, 2, 3).reshape(B, M_pad, K)[:, :M]
     return KnnResult(dists, idx)
 
 

@@ -10,6 +10,17 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS; override via jax.config so tests run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: repeat test runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_garment4d")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
