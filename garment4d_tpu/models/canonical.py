@@ -70,10 +70,17 @@ class CanonicalGarmentModel(nn.Module):
     bn_axis_name: Optional[str] = None
 
     def pca_inverse_transform(self, coeff: Array) -> Array:
-        """(B, pca_dim) -> (B, V, 3); reference `mesh_encoder.py:101-107`."""
-        comp = jnp.asarray(self.assets.pca_components)
-        mean = jnp.asarray(self.assets.pca_mean)
-        scale = jnp.asarray(self.assets.pca_scale)
+        """(B, pca_dim) -> (B, V, 3); reference `mesh_encoder.py:101-107`.
+
+        The PCA basis lives in the 'constants' variable collection (a runtime
+        input, not an HLO constant - keeps compiles fast and the basis
+        swappable per template)."""
+        comp = self.variable("constants", "pca_components",
+                             lambda: jnp.asarray(self.assets.pca_components)).value
+        mean = self.variable("constants", "pca_mean",
+                             lambda: jnp.asarray(self.assets.pca_mean)).value
+        scale = self.variable("constants", "pca_scale",
+                              lambda: jnp.asarray(self.assets.pca_scale)).value
         flat = (jnp.einsum("bk,kd->bd", coeff, comp,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST) + mean) * scale

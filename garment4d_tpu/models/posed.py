@@ -98,6 +98,9 @@ class PosedGarmentModel(nn.Module):
         body_vn = ops.vertex_normals(body_v, body_faces)
 
         # ---- interpolated LBS ---------------------------------------------
+        smooth_op = self.variable(
+            "constants", "smooth_op",
+            lambda: jnp.asarray(self.assets.smooth_op)).value
         lbs = lbs_garment_interpolation(
             canonical.tpose_garment,
             body.tpose_vertices,
@@ -107,12 +110,13 @@ class PosedGarmentModel(nn.Module):
             body.J_regressor,
             body.lbs_weights,
             parents=_SMPL_PARENTS,
-            smooth_op=jnp.asarray(self.assets.smooth_op),
+            smooth_op=smooth_op,
             K=self.lbs_k,
         )
 
         # ---- iterative GCN refinement (reference :450-485) ----------------
-        adj = jnp.asarray(self.assets.gcn_adj)
+        adj = self.variable("constants", "gcn_adj",
+                            lambda: jnp.asarray(self.assets.gcn_adj)).value
         garment_xyz = canonical.garment_xyz        # stage-1 levels (BT, ., 3)
         garment_feats = canonical.garment_features
 

@@ -28,6 +28,7 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
     batch_stats: Any
+    constants: Any  # non-trainable model buffers (PCA basis, graph operators)
     opt_state: Any
     lr_scale: jax.Array  # plateau-schedule multiplier
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
@@ -58,12 +59,14 @@ def make_optimizer(lr: float, freeze_canonical: bool = False
 
 
 def create_train_state(params, batch_stats, lr: float,
-                       freeze_canonical: bool = False) -> TrainState:
+                       freeze_canonical: bool = False,
+                       constants=None) -> TrainState:
     tx = make_optimizer(lr, freeze_canonical=freeze_canonical)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
+        constants=constants if constants is not None else {},
         opt_state=tx.init(params),
         lr_scale=jnp.ones(()),
         tx=tx,

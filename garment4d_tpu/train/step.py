@@ -4,6 +4,10 @@ The whole step (forward, losses, backward, Adam update, metric means) is one
 XLA program; under a data-parallel mesh the batch axis is sharded and XLA
 inserts the gradient/metric all-reduces (replacing the reference's DDP
 all-reduce + pickle-file metric merge, `utils/train_utils.py:213-237`).
+
+Model buffers (PCA basis, graph operators, the posed-stage Laplacian) live in
+the TrainState's `constants` pytree so they enter the program as runtime
+inputs, not multi-MB HLO constants.
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ from garment4d_tpu.train.state import TrainState
 
 Array = jax.Array
 
+LAP_ADJ_KEY = "loss_lap_adj"  # posed-stage Laplacian, stored in constants
+
 
 def body_inputs_from_batch(batch: Dict[str, Array]) -> BodyInputs:
     return BodyInputs(
@@ -35,15 +41,20 @@ def body_inputs_from_batch(batch: Dict[str, Array]) -> BodyInputs:
     )
 
 
+def _model_constants(state: TrainState) -> dict:
+    return {k: v for k, v in state.constants.items() if k != LAP_ADJ_KEY}
+
+
 def make_canonical_steps(model, assets, body_faces: np.ndarray,
                          weights: Optional[L.LossWeights] = None,
                          only_seg: bool = False):
     """Returns (train_step, eval_step) for the canonical stage."""
     weights = weights or L.LossWeights()
 
-    def loss_fn(params, batch_stats, batch, dropout_rng):
+    def loss_fn(params, state, batch, dropout_rng):
         out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, "batch_stats": state.batch_stats,
+             "constants": _model_constants(state)},
             batch["pcd"], train=True,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"])
@@ -55,7 +66,7 @@ def make_canonical_steps(model, assets, body_faces: np.ndarray,
     def train_step(state: TrainState, batch, dropout_rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (loss_dict, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, dropout_rng)
+            state.params, state, batch, dropout_rng)
         state = state.apply_gradients(grads)
         state = state.replace(batch_stats=new_stats)
         return state, loss_dict
@@ -63,7 +74,8 @@ def make_canonical_steps(model, assets, body_faces: np.ndarray,
     @jax.jit
     def eval_step(state: TrainState, batch):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "constants": _model_constants(state)},
             batch["pcd"], train=False)
         return L.canonical_stage_loss(
             out, batch, assets.faces_tri, body_faces, weights, only_seg=only_seg)
@@ -77,14 +89,15 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
     encoder's BatchNorm stays in inference mode inside the posed model
     (reference freezes its BN when --fix_PCA, `train_temporal.py:227-233`)."""
     weights = weights or L.LossWeights()
-    lap_adj = jnp.asarray(assets.lap_adj)
 
-    def loss_fn(params, batch_stats, batch, dropout_rng):
+    def loss_fn(params, state, batch, dropout_rng):
         out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, "batch_stats": state.batch_stats,
+             "constants": _model_constants(state)},
             batch["pcd"], body_inputs_from_batch(batch), train=True,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"])
+        lap_adj = state.constants[LAP_ADJ_KEY]
         loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
         return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
 
@@ -92,7 +105,7 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
     def train_step(state: TrainState, batch, dropout_rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (loss_dict, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, dropout_rng)
+            state.params, state, batch, dropout_rng)
         state = state.apply_gradients(grads)
         state = state.replace(batch_stats=new_stats)
         return state, loss_dict
@@ -100,8 +113,23 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
     @jax.jit
     def eval_step(state: TrainState, batch):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "constants": _model_constants(state)},
             batch["pcd"], body_inputs_from_batch(batch), train=False)
+        lap_adj = state.constants[LAP_ADJ_KEY]
         return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
 
     return train_step, eval_step
+
+
+def make_state_for(model, variables, assets, lr: float,
+                   freeze_canonical: bool = False) -> TrainState:
+    """Build a TrainState from freshly-initialised flax variables, wiring the
+    model's constants collection (plus the loss-side Laplacian) through."""
+    from garment4d_tpu.train.state import create_train_state
+
+    constants = dict(variables.get("constants", {}))
+    constants[LAP_ADJ_KEY] = jnp.asarray(assets.lap_adj)
+    return create_train_state(
+        variables["params"], variables.get("batch_stats", {}),
+        lr=lr, freeze_canonical=freeze_canonical, constants=constants)

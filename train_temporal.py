@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Garment4D-TPU training / evaluation entry point.
+
+Same CLI surface as the reference's `train_temporal.py` (flags from
+`utils/config.py:91-118`, stage selection per `train_temporal.py:108-116`):
+
+  --GarmentPCA 1     canonical stage (PCAGarmentEncoderSeg equivalent)
+  --GarmentPCALBS 1  posed stage (PCALBSGarmentUseSegEncoderSeg equivalent)
+  --MGN 1            MGN baseline variant
+  --only_seg 1       segmentation-only training
+  --fix_PCA 1        freeze the canonical encoder (posed stage)
+  --only_eval 1      evaluation only (loads --pretrained_model)
+
+With --synthetic_data 1 it runs on the generated mini-CLOTH3D fixture, so the
+full pipeline is exercisable without the real dataset or SMPL weights.
+"""
+
+import os
+import sys
+
+
+def main(argv=None):
+    from garment4d_tpu.utils.config import parse_args
+
+    args, cfg = parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from garment4d_tpu import losses, smpl
+    from garment4d_tpu.models import (
+        CanonicalGarmentModel,
+        GarmentAssets,
+        PosedGarmentModel,
+    )
+    from garment4d_tpu.models.mgn import MgnGarmentModel
+    from garment4d_tpu.parallel.mesh import check_batch_divisible, make_mesh, shard_batch
+    from garment4d_tpu.train import checkpoint as ckpt_lib
+    from garment4d_tpu.train.loop import fit, eval_one_epoch, make_logger
+    from garment4d_tpu.train.step import (
+        make_canonical_steps,
+        make_posed_steps,
+        make_state_for,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = make_logger(args.output_dir)
+    for key, val in sorted(vars(args).items()):
+        logger.info(f"{key:20} {val}")
+
+    # ---------------- assets / body model ----------------
+    if args.synthetic_data:
+        assets = GarmentAssets.synthetic(name=cfg.GARMENT.NAME,
+                                         num_rings=12, ring_size=16)
+        body_models = {g: smpl.synthetic_smpl(num_verts=400, seed=s)
+                       for s, g in enumerate(("male", "female"))}
+        npoints = min(args.npoints, 2048)
+    else:
+        assets = GarmentAssets.from_files(
+            cfg.GARMENT.NAME, cfg.GARMENT.TEMPLATE, cfg.GARMENT.PCACOMPONENTSFILE,
+            pca_dim=cfg.GARMENT.PCADIM)
+        body_models = {}
+        for gender in ("male", "female"):
+            for ext in ("npz", "pkl"):
+                p = os.path.join(args.smpl_model_dir, f"SMPL_{gender.upper()}.{ext}")
+                if os.path.exists(p):
+                    body_models[gender] = smpl.load_smpl(p)
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"SMPL_{gender.upper()} not found in {args.smpl_model_dir}")
+        npoints = cfg.NETWORK.NPOINTS
+    body_model = body_models["male"]
+    body_faces_t = tuple(map(tuple, body_model.faces.tolist()))
+
+    # ---------------- data ----------------
+    mesh = make_mesh()
+    check_batch_divisible(args.batch_size, mesh)
+
+    if args.synthetic_data:
+        from garment4d_tpu.data.synthetic import make_batch
+
+        def batches_fn(split_seed):
+            def gen(epoch):
+                for i in range(2):
+                    b = make_batch(assets, body_model, batch_size=args.batch_size,
+                                   T=args.T, npoints=npoints,
+                                   seed=split_seed * 1000 + epoch * 10 + i)
+                    yield shard_batch(b, mesh)
+            return gen
+        train_batches, eval_batches = batches_fn(0), batches_fn(1)
+    else:
+        from garment4d_tpu.data.cloth3d import (
+            Cloth3dDataset,
+            Cloth3dPaths,
+            finalize_batch,
+        )
+
+        paths = Cloth3dPaths(
+            root=cfg.DATASET.ROOT_FOLDER,
+            cloth3d_folder=cfg.DATASET.CLOTH3D_FOLDER,
+            garment_folder=cfg.DATASET.GARMENT_FOLDER,
+            template_prefix=cfg.DATASET.GARMENT_TEMPLATE_T_POSE_PREFIX)
+        ds_train = Cloth3dDataset(
+            paths, cfg.DATASET.TRAIN_F_LIST, cfg.GARMENT.NAME, T=args.T,
+            npoints=npoints, pca_dim=cfg.GARMENT.PCADIM, is_train=True,
+            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
+        ds_eval = Cloth3dDataset(
+            paths, cfg.DATASET.EVAL_F_LIST, cfg.GARMENT.NAME, T=args.T,
+            npoints=npoints, pca_dim=cfg.GARMENT.PCADIM, is_train=False,
+            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
+        logger.info(f"train windows: {len(ds_train)}  eval windows: {len(ds_eval)}")
+
+        def make_gen(ds, shuffle):
+            def gen(epoch):
+                order = np.arange(len(ds))
+                if shuffle:
+                    np.random.RandomState(epoch).shuffle(order)
+                bs = args.batch_size
+                for i in range(0, len(order) - bs + 1, bs):
+                    raw = ds.collate([ds.raw_item(j) for j in order[i:i + bs]])
+                    yield shard_batch(
+                        finalize_batch(raw, body_models, npoints), mesh)
+            return gen
+        train_batches, eval_batches = make_gen(ds_train, True), make_gen(ds_eval, False)
+
+    # ---------------- model ----------------
+    example = next(train_batches(0))
+    if args.GarmentPCALBS and args.MGN:
+        model = MgnGarmentModel(assets=assets, body_faces=body_faces_t)
+    elif args.GarmentPCALBS:
+        model = PosedGarmentModel(
+            assets=assets, body_faces=body_faces_t,
+            lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION)
+    elif args.GarmentPCA:
+        model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg))
+    else:
+        raise SystemExit("select a stage: --GarmentPCA 1 or --GarmentPCALBS 1")
+
+    from garment4d_tpu.train.step import body_inputs_from_batch
+
+    init_rng = jax.random.PRNGKey(0)
+    if args.GarmentPCALBS:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            init_rng, example["pcd"], body_inputs_from_batch(example), train=False)
+    else:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            init_rng, example["pcd"], train=False)
+
+    # checkpoint restore paths (parity with train_temporal.py:136-178)
+    if args.pretrained_model:
+        variables, report = ckpt_lib.load_pretrained(args.pretrained_model, variables)
+        logger.info(f"loaded {len(report['loaded'])} tensors from "
+                    f"{args.pretrained_model}; skipped {len(report['skipped'])}")
+    if args.GarmentPCA_pretrain:
+        canon_vars, report = ckpt_lib.load_pretrained(
+            args.GarmentPCA_pretrain,
+            {"params": variables["params"].get("canonical", {}),
+             "batch_stats": variables.get("batch_stats", {}).get("canonical", {})})
+        variables = ckpt_lib.bootstrap_canonical(canon_vars, variables)
+        logger.info(f"bootstrapped canonical encoder from {args.GarmentPCA_pretrain}")
+
+    state = make_state_for(model, variables, assets, lr=args.lr,
+                           freeze_canonical=bool(args.fix_PCA))
+
+    weights = cfg.LOSS
+    if args.GarmentPCALBS:
+        train_step, eval_step = make_posed_steps(
+            model, assets, body_model.faces, weights)
+        eval_metric = "lbs_garment_msre"
+    else:
+        train_step, eval_step = make_canonical_steps(
+            model, assets, body_model.faces, weights,
+            only_seg=bool(args.only_seg))
+        eval_metric = "garment_msre" if not args.only_seg else "total_loss"
+
+    ckpt_dir = os.path.join(args.output_dir, "ckpt", args.ckpt_name)
+
+    if args.only_eval:
+        means = eval_one_epoch(state, eval_batches(0), eval_step, logger=logger)
+        logger.info(f"EVAL RESULT: {eval_metric}={means.get(eval_metric):.6f}")
+        print({k: round(v, 6) for k, v in sorted(means.items())})
+        return means
+
+    def save_fn(st, epoch, best):
+        ckpt_lib.save_checkpoint(ckpt_dir, st, epoch, {"best_v_l2": best})
+
+    state, history = fit(
+        state, train_batches, eval_batches, train_step, eval_step,
+        epochs=args.epoch_num, output_dir=args.output_dir,
+        use_plateau=bool(args.lr_sche), eval_metric=eval_metric,
+        save_fn=save_fn, logger=logger)
+    return history
+
+
+if __name__ == "__main__":
+    main()
