@@ -92,34 +92,38 @@ def lbs_garment_interpolation(
         jnp.einsum("bvpq,bvq->bvp", inv_T[:, :, :3, :3], root_garment, **_MM)
         + inv_T[:, :, :3, 3]
     )  # (B, Vg, 3)
-    unposed_bt = jnp.broadcast_to(unposed[:, None], (B, T, Vg, 3)).reshape(BT, Vg, 3)
 
     # ---- re-pose to every frame -----------------------------------------
     zero_v = zeropose_vertices.reshape(BT, -1, 3)
     J_pos = vertices2joints_b(T_J_regressor.reshape(BT, J, -1), zero_v)
     _, A = batch_rigid_transform(pose_mat, J_pos, parents)
 
+    # The K-NN indices and the skinning weights are frame-independent (the
+    # reference always feeds per-frame copies of the same gender's
+    # lbs_weights, `dataloader.py:204-212`), so the heavy (Vg, K, J) gather
+    # and the diffusion run once per *sequence*; per-frame work is just one
+    # small MXU matmul against each frame's joint transforms. This is
+    # mathematically identical to the reference's per-frame gathers
+    # (`mesh_encoder.py:380-393`) at 1/T the gather traffic.
     iw = _interp_weights(nnk.dists)[..., None]  # (B, Vg, K, 1)
-    w_bt = T_lbs_weights.reshape(BT, -1, J)
-    idx_bt = jnp.broadcast_to(nnk.idx[:, None], (B, T, Vg, K)).reshape(BT, Vg, K)
-    nn_W = ops.group_points(w_bt, idx_bt)  # (BT, Vg, K, J)
-    iw_bt = jnp.broadcast_to(iw[:, None], (B, T, Vg, K, 1)).reshape(BT, Vg, K, 1)
-    nn_W = jnp.sum(nn_W * iw_bt, axis=-2)  # (BT, Vg, J)
+    nn_W = ops.group_points(w0, nnk.idx)  # (B, Vg, K, J)
+    nn_W = jnp.sum(nn_W * iw, axis=-2)  # (B, Vg, J)
 
     if K > 1:
         # 100-step weight diffusion == one precomputed dense operator
         nn_W = jnp.einsum("vw,bwj->bvj", smooth_op, nn_W, **_MM)
 
-    T_mat = jnp.einsum("bvj,bjpq->bvpq", nn_W, A, **_MM)  # (BT, Vg, 4, 4)
+    A_bt = A.reshape(B, T, J, 16)
+    T_mat = jnp.einsum("bvj,btjq->btvq", nn_W, A_bt, **_MM).reshape(B, T, Vg, 4, 4)
     posed = (
-        jnp.einsum("bvpq,bvq->bvp", T_mat[:, :, :3, :3], unposed_bt, **_MM)
-        + T_mat[:, :, :3, 3]
+        jnp.einsum("btvpq,bvq->btvp", T_mat[..., :3, :3], unposed, **_MM)
+        + T_mat[..., :3, 3]
     )
 
     return LbsResult(
-        posed_garment=posed.reshape(B, T, Vg, 3),
+        posed_garment=posed,
         nn_idx=nn1.idx,
-        unposed_garment=unposed_bt.reshape(B, T, Vg, 3),
+        unposed_garment=jnp.broadcast_to(unposed[:, None], (B, T, Vg, 3)),
     )
 
 

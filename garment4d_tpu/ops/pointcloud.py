@@ -131,7 +131,7 @@ def group_points(points: Array, idx: Array) -> Array:
 
 
 def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
-               chunk: int = 1024) -> Array:
+               chunk: int = 1024, use_pallas: Optional[bool] = None) -> Array:
     """For each center, indices of the first `nsample` points within `radius`.
 
     xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, nsample) int32.
@@ -142,6 +142,13 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     zero-initialised indices. Implemented as mask -> prefix-sum rank ->
     unique-slot scatter (no sequential scan, no atomics).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_pallas
+
+        return ball_query_pallas(radius, nsample, xyz, new_xyz)
+
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     r2 = jnp.float32(radius * radius)
