@@ -44,13 +44,11 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
 def restore_checkpoint(ckpt_dir: str, state: TrainState):
     """Full resume: returns (state, epoch, other_state)."""
     ckptr = ocp.PyTreeCheckpointer()
-    target = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "meta": None,
-    }
-    payload = ckptr.restore(os.path.abspath(ckpt_dir), item=target)
+    payload = ckptr.restore(os.path.abspath(ckpt_dir))
+    # restore returns plain dicts/lists; rebuild the opt_state pytree structure
+    payload["opt_state"] = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(state.opt_state),
+        jax.tree_util.tree_leaves(payload["opt_state"]))
     meta = payload["meta"]
     new_state = state.replace(
         params=payload["params"],

@@ -1,0 +1,107 @@
+"""Tests for post-processing and export."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from garment4d_tpu import ops, smpl
+from garment4d_tpu.data.export import render_mesh, write_ply_pointcloud, export_frame
+from garment4d_tpu.data.postprocess import (
+    detect_penetration,
+    laplacian_smooth,
+    push_out_targets,
+    remove_interpenetration,
+)
+from garment4d_tpu.models import GarmentAssets
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return GarmentAssets.synthetic(num_rings=8, ring_size=12)
+
+
+class TestLaplacianSmooth:
+    def test_matches_stepwise_reference(self, assets, rng):
+        from garment4d_tpu.ops import row_normalize, build_mesh_adjacency
+
+        adj = build_mesh_adjacency(assets.faces, assets.num_verts)
+        norm = row_normalize(adj)
+        v = rng.randn(1, assets.num_verts, 3).astype(np.float32)
+        got = np.asarray(laplacian_smooth(jnp.asarray(v), jnp.asarray(norm), iters=10))
+        want = v[0].astype(np.float64)
+        for i in range(10):
+            coeff = 0.05 if i % 2 == 0 else -0.052
+            want = want + coeff * (norm @ want - want)
+        np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-5)
+
+    def test_smoothing_reduces_roughness(self, assets, rng):
+        from garment4d_tpu.ops import row_normalize, build_mesh_adjacency
+
+        adj = build_mesh_adjacency(assets.faces, assets.num_verts)
+        norm = row_normalize(adj)
+        v = assets.template_v + rng.randn(assets.num_verts, 3).astype(np.float32) * 0.02
+        sm = np.asarray(laplacian_smooth(jnp.asarray(v[None]), jnp.asarray(norm)))[0]
+
+        def roughness(x):
+            return np.linalg.norm(norm @ x - x, axis=-1).mean()
+
+        assert roughness(sm) < roughness(v)
+
+
+class TestInterpenetration:
+    def test_detect_and_push(self, rng):
+        body_model = smpl.synthetic_smpl(num_verts=300)
+        body_v = np.asarray(body_model.v_template)
+        body = jnp.asarray(body_v[None])
+        body_vn = ops.vertex_normals(body, body_model.faces)
+        # garment points: copies of body verts nudged inward along -normal
+        vn0 = np.asarray(body_vn[0])
+        garment = body_v[:50] - 0.01 * vn0[:50]
+        inside, nearest, normal = detect_penetration(
+            jnp.asarray(garment[None], jnp.float32), body, body_vn)
+        assert np.asarray(inside).mean() > 0.5
+        pushed = push_out_targets(
+            jnp.asarray(garment[None], jnp.float32), inside, nearest, normal)
+        # pushed points must now be outside w.r.t. the matched normal
+        d = np.sum(np.asarray(normal)[0] * (np.asarray(pushed)[0] - np.asarray(nearest)[0]), -1)
+        assert (d[np.asarray(inside)[0]] > 0).all()
+
+    def test_remove_interpenetration_converges(self, assets, rng):
+        from garment4d_tpu.ops import build_mesh_adjacency
+
+        body_model = smpl.synthetic_smpl(num_verts=300)
+        body_v = np.asarray(body_model.v_template)
+        garment = assets.template_v * 0.05  # deep inside the body blob
+        adj = build_mesh_adjacency(assets.faces, assets.num_verts)
+        out = remove_interpenetration(garment, body_v, body_model.faces, adj,
+                                      max_iters=5)
+        assert out.shape == garment.shape
+        assert np.isfinite(out).all()
+        body = jnp.asarray(body_v[None])
+        body_vn = ops.vertex_normals(body, body_model.faces)
+        inside_before, _, _ = detect_penetration(
+            jnp.asarray(garment[None], jnp.float32), body, body_vn)
+        inside_after, _, _ = detect_penetration(
+            jnp.asarray(out[None], jnp.float32), body, body_vn)
+        assert np.asarray(inside_after).sum() <= np.asarray(inside_before).sum()
+
+
+class TestExport:
+    def test_ply_and_obj(self, tmp_path, assets, rng):
+        pcd = rng.randn(100, 3).astype(np.float32)
+        labels = rng.randint(0, 7, 100)
+        export_frame(str(tmp_path), "f0",
+                     {"pcd": pcd, "pcd_labels": labels,
+                      "pred_garment": assets.template_v},
+                     garment_faces=assets.faces_tri)
+        ply = (tmp_path / "f0_pcd.ply").read_text()
+        assert ply.startswith("ply") and "element vertex 100" in ply
+        obj = (tmp_path / "f0_pred_garment.obj").read_text()
+        assert obj.count("v ") >= assets.num_verts
+
+    def test_render_mesh(self, assets):
+        img = render_mesh(assets.template_v, assets.faces_tri, size=64)
+        assert img.shape == (64, 64)
+        assert img.max() > 0  # something was rasterised
