@@ -34,6 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from garment4d_tpu.data import native
 from garment4d_tpu.data.obj_io import interpolate_barycentric, read_obj
 from garment4d_tpu.models.assets import LABEL_DICT
 from garment4d_tpu.smpl import SmplModel, batch_rodrigues
@@ -176,8 +177,9 @@ class Cloth3dDataset:
             with open(os.path.join(fdir, "garment_flist.txt")) as f:
                 gfiles = [l.rstrip() for l in f.readlines()]
             pts_list, lab_list, by_name = [], [], {}
-            for gf in gfiles:
-                pts = np.fromfile(os.path.join(fdir, gf), np.float32).reshape(-1, 3)
+            all_bufs = native.read_bin_batch(
+                [os.path.join(fdir, gf) for gf in gfiles])
+            for gf, pts in zip(gfiles, all_bufs):
                 gname = os.path.basename(gf)[:-5]  # strip "N.bin" -> reference [:-5]
                 pts_list.append(pts)
                 lab_list.append(np.full(pts.shape[0], LABEL_DICT[gname], np.int32))
@@ -193,13 +195,13 @@ class Cloth3dDataset:
 
             named = by_name[self.garment_name] @ inv_zrot_mat
             named_garment.append(
-                interpolate_barycentric(named, remesh_ind, remesh_w).astype(np.float32))
+                native.barycentric(named, remesh_ind, remesh_w))
 
         template_file = os.path.join(self.paths.template_prefix, seq_name,
                                      f"{self.garment_name}.obj")
-        tmpl_v, _, _, _ = read_obj(template_file)
+        tmpl_v, _ = native.parse_obj(template_file)
         tmpl_v = tmpl_v @ inv_zrot_mat
-        tmpl_v = interpolate_barycentric(tmpl_v, remesh_ind, remesh_w).astype(np.float32)
+        tmpl_v = native.barycentric(tmpl_v, remesh_ind, remesh_w)
 
         # final pcd resample choice (pure function of the input sizes)
         final_choice = sample_choice(self.body_verts + N // 2, N)
