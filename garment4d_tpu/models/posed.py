@@ -28,6 +28,54 @@ from garment4d_tpu.nn import MLP, GraphConvolution
 Array = jax.Array
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense-compatible tree names, so the layer
+    can be applied in split form (see SplitQueryGroupPE)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.out_features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_features,))
+        return k, b
+
+
+class SplitQueryGroupPE(nn.Module):
+    """Query-and-group + positional-encoding MLP with the first Linear
+    commuted before the gather.
+
+    Linear0(concat(rel_xyz, feat)) == rel_xyz @ K[:3] + feat @ K[3:] + b, and
+    gathering commutes with the per-point feature projection, so source
+    features are projected to `feat_num` once per point and the row gather
+    shrinks from (3+C) to (3+feat_num) wide - bitwise-identical outputs,
+    several-fold less gather traffic for C >> feat_num. Parameter tree
+    matches MLP((feat_num, feat_num)) -> linear0/linear1 (torch-ckpt mapping
+    unchanged).
+    """
+
+    in_features: int  # 3 + C
+    feat_num: int = 32
+    radius: float = 0.1
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, xyz: Array, new_xyz: Array, features: Array) -> Array:
+        k0, b0 = _DenseParams(self.in_features, self.feat_num, name="linear0")()
+        k1, b1 = _DenseParams(self.feat_num, self.feat_num, name="linear1")()
+        proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
+        idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
+        packed = jnp.concatenate([xyz, proj], axis=-1)
+        grouped = ops.group_points(packed, idx)  # (B, M, S, 3+F)
+        rel = grouped[..., :3] - new_xyz[:, :, None, :]
+        h = jnp.einsum("bmsc,cf->bmsf", rel, k0[:3]) + grouped[..., 3:] + b0
+        h = jax.nn.relu(h)
+        h = jnp.einsum("bmsf,fg->bmsg", h, k1) + b1
+        return jnp.max(h, axis=-2)  # (B, M, F)
+
+
 class PosedOutput(NamedTuple):
     canonical: CanonicalOutput
     lbs: LbsResult
@@ -122,8 +170,14 @@ class PosedGarmentModel(nn.Module):
 
         body_pe_mlps = [MLP((self.feat_num, self.feat_num), name=f"body_pe{i}")
                         for i in range(3)]
-        garment_pe_mlps = [MLP((self.feat_num, self.feat_num), name=f"garment_pe{i}")
-                           for i in range(3)]
+        garment_pe_dims = [3 + garment_feats[i].shape[-1] for i in range(3)]
+        garment_pes = [
+            SplitQueryGroupPE(
+                in_features=garment_pe_dims[i], feat_num=self.feat_num,
+                radius=r["garment_radius"][i], nsample=r["garment_nsample"][i],
+                name=f"garment_pe{i}")
+            for i in range(3)
+        ]
         temporal_qkv = [
             nn.Dense(self.hidden_dim * 3, use_bias=False, name=f"temporal_qkv{i}")
             for i in range(self.iterations - 1)
@@ -148,11 +202,8 @@ class PosedGarmentModel(nn.Module):
                 pe = jnp.max(body_pe_mlps[i](qg), axis=-2)  # (BT, Vg, 32)
                 pe_list.append(pe)
             for i in range(3):
-                qg = ops.query_and_group(
-                    r["garment_radius"][i], r["garment_nsample"][i],
-                    xyz=garment_xyz[i], new_xyz=cur_garment_v,
-                    features=garment_feats[i])
-                pe = jnp.max(garment_pe_mlps[i](qg), axis=-2)
+                pe = garment_pes[i](garment_xyz[i], cur_garment_v,
+                                    garment_feats[i])
                 pe_list.append(pe)
             feat = jnp.concatenate(pe_list, axis=-1)  # (BT, Vg, 3 + 6*32)
 

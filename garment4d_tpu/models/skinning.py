@@ -75,8 +75,12 @@ def lbs_garment_interpolation(
     root_garment = pred_template_garment_v + tpose_root_joints[:, None, :]
     K64 = min(64, K)
     nnk = ops.knn_points(root_garment, tpose_vertices, K=K)
-    nn64 = nnk if K64 == K else ops.knn_points(root_garment, tpose_vertices, K=K64)
-    nn1 = ops.knn_points(root_garment, tpose_vertices, K=1)
+    # knn results are distance-sorted, so the K64- and 1-NN queries of the
+    # reference (`mesh_encoder.py:321-324`) are prefixes of the K-NN result -
+    # one sort instead of three
+    nn64 = (nnk if K64 == K
+            else ops.KnnResult(nnk.dists[..., :K64], nnk.idx[..., :K64]))
+    nn1 = ops.KnnResult(nnk.dists[..., :1], nnk.idx[..., :1])
 
     # ---- un-pose: invert the fixed template pose -------------------------
     inv_pose_mat = batch_rodrigues(_inverse_template_pose(B))

@@ -2,16 +2,14 @@
 
 The reference hides FPS's sequential nature inside a CUDA block reduction
 (`src/sampling_gpu.cu` `furthest_point_sampling_kernel`). On TPU the whole
-point set (N x 3 floats, ~83 KB for N=6890) fits in VMEM, so the kernel keeps
-the coordinates and the running min-distance array resident on-chip and runs
-the npoint-step loop without touching HBM.
+batch of point sets fits in VMEM (B x N floats, ~1.1 MB for 40x6890), so the
+kernel keeps the coordinates and the running min-distance array resident
+on-chip and runs the npoint-step loop once for ALL batch rows in parallel -
+the fixed per-step loop overhead amortises across the batch (sublane) axis.
 
-Layout: coordinates are fed transposed as (B, 3, N) so the point axis lands on
-the 128-wide lane dimension of the VPU; the per-step distance update and
-argmax are then full-width vector ops.
-
-Semantics match the CUDA kernel: start at index 0, running min-distance,
-argmax per step (ties -> lowest index).
+Layout: coordinates are fed transposed as (3, B, N): batch on sublanes,
+points on lanes. Semantics match the CUDA kernel: start at index 0, running
+min-distance, argmax per step (ties -> lowest index).
 """
 
 from __future__ import annotations
@@ -30,33 +28,37 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(xyz_ref, out_ref, temp_ref, *, n_valid: int, npoint: int):
-    # xyz_ref: (1, 3, Np) VMEM; out_ref: (1, 1, Mp) int32; temp_ref: (1, Np) f32
+    # xyz_ref: (3, Bp, Np); out_ref: (Bp, Mp) int32; temp_ref: (Bp, Np) f32
     n_pad = xyz_ref.shape[-1]
+    b_pad = xyz_ref.shape[1]
     m_pad = out_ref.shape[-1]
-    lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), dimension=1)
+    lane = lax.broadcasted_iota(jnp.int32, (b_pad, n_pad), dimension=1)
     valid = lane < n_valid
 
-    x = xyz_ref[0, 0:1, :]  # (1, Np)
-    y = xyz_ref[0, 1:2, :]
-    z = xyz_ref[0, 2:3, :]
+    x = xyz_ref[0]  # (Bp, Np)
+    y = xyz_ref[1]
+    z = xyz_ref[2]
 
-    temp_ref[:] = jnp.where(valid, 1e10, -1.0)
-    out_slot = lax.broadcasted_iota(jnp.int32, (1, m_pad), dimension=1)
-    out_ref[0] = jnp.zeros((1, m_pad), jnp.int32)
+    temp_ref[...] = jnp.where(valid, 1e10, -1.0)
+    out_slot = lax.broadcasted_iota(jnp.int32, (b_pad, m_pad), dimension=1)
+    out_ref[...] = jnp.zeros((b_pad, m_pad), jnp.int32)
 
     def body(j, last):
+        # last: (Bp, 1) per-row index of the previously selected point
         onehot = (lane == last).astype(jnp.float32)
-        lx = jnp.sum(x * onehot)
-        ly = jnp.sum(y * onehot)
-        lz = jnp.sum(z * onehot)
+        lx = jnp.sum(x * onehot, axis=-1, keepdims=True)  # (Bp, 1)
+        ly = jnp.sum(y * onehot, axis=-1, keepdims=True)
+        lz = jnp.sum(z * onehot, axis=-1, keepdims=True)
         d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        t = jnp.minimum(temp_ref[:], jnp.where(valid, d2, -1.0))
-        temp_ref[:] = t
-        nxt = jnp.argmax(t, axis=-1)[0].astype(jnp.int32)
-        out_ref[0] = jnp.where(out_slot == j, nxt, out_ref[0])
+        t = jnp.minimum(temp_ref[...], jnp.where(valid, d2, -1.0))
+        temp_ref[...] = t
+        best = jnp.max(t, axis=-1, keepdims=True)
+        nxt = jnp.min(jnp.where(t >= best, lane, n_pad), axis=-1,
+                      keepdims=True)  # lowest index attaining the max
+        out_ref[...] = jnp.where(out_slot == j, nxt, out_ref[...])
         return nxt
 
-    lax.fori_loop(1, npoint, body, jnp.int32(0))
+    lax.fori_loop(1, npoint, body, jnp.zeros((b_pad, 1), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -64,18 +66,17 @@ def fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     """xyz: (B, N, 3) f32 -> (B, npoint) int32."""
     B, N, _ = xyz.shape
     n_pad = _round_up(N, 128)
-    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
-    if n_pad != N:
-        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
-
+    b_pad = _round_up(B, 8)
     m_pad = _round_up(npoint, 128)
+    xyz_t = jnp.transpose(xyz, (2, 0, 1)).astype(jnp.float32)  # (3, B, N)
+    xyz_t = jnp.pad(xyz_t, ((0, 0), (0, b_pad - B), (0, n_pad - N)))
+
     kernel = functools.partial(_fps_kernel, n_valid=N, npoint=npoint)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, n_pad), jnp.float32)],
     )(xyz_t)
-    return out[:, 0, :npoint]
+    return out[:B, :npoint]

@@ -70,6 +70,7 @@ def furthest_point_sample(xyz: Array, npoint: int, use_pallas: Optional[bool] = 
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    xyz = lax.stop_gradient(xyz)  # non-diff (`pointnet2_utils.py:31-33`)
     if use_pallas:
         from garment4d_tpu.ops.pallas.fps import fps_pallas
 
@@ -147,7 +148,11 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     if use_pallas:
         from garment4d_tpu.ops.pallas.ball_query import ball_query_pallas
 
-        return ball_query_pallas(radius, nsample, xyz, new_xyz)
+        # non-differentiable (reference `pointnet2_utils.py:224-226`); the
+        # stop_gradient also keeps autodiff from trying to differentiate
+        # through the pallas_call
+        return ball_query_pallas(radius, nsample, lax.stop_gradient(xyz),
+                                 lax.stop_gradient(new_xyz))
 
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -197,14 +202,17 @@ def query_and_group(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     (B, M, S, 3+C) instead of the reference's (B, 3+C, M, S).
     """
     idx = ball_query(radius, nsample, xyz, new_xyz)
-    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:
-        grouped_feats = group_points(features, idx)
         if use_xyz:
-            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-        return grouped_feats
+            # single wide gather instead of separate xyz + feature gathers
+            # (row-gather cost is per-row, so merging nearly halves it)
+            packed = jnp.concatenate([xyz, features], axis=-1)
+            grouped = group_points(packed, idx)
+            centred = grouped[..., :3] - new_xyz[:, :, None, :]
+            return jnp.concatenate([centred, grouped[..., 3:]], axis=-1)
+        return group_points(features, idx)
     assert use_xyz, "cannot have no features and not use xyz"
-    return grouped_xyz
+    return group_points(xyz, idx) - new_xyz[:, :, None, :]
 
 
 def group_all(xyz: Array, features: Optional[Array] = None, use_xyz: bool = True) -> Array:
@@ -258,7 +266,8 @@ def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
     return KnnResult(dists, idx)
 
 
-def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
+def three_nn(unknown: Array, known: Array,
+             use_pallas: Optional[bool] = None) -> tuple[Array, Array]:
     """Exact 3 nearest neighbours of `unknown` in `known`.
 
     unknown: (B, N, 3), known: (B, M, 3) -> (dist (B, N, 3) EUCLIDEAN
@@ -266,6 +275,17 @@ def three_nn(unknown: Array, known: Array) -> tuple[Array, Array]:
     (`pointnet2_utils.py:98`), the underlying CUDA kernel keeps squared
     distances (`src/interpolate_gpu.cu:30-51`).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    # non-differentiable in the reference (`pointnet2_utils.py:100-102`:
+    # backward returns None for both dists and idx)
+    unknown = lax.stop_gradient(unknown)
+    known = lax.stop_gradient(known)
+    if use_pallas:
+        from garment4d_tpu.ops.pallas.three_nn import three_nn_pallas
+
+        dist2, idx = three_nn_pallas(unknown, known)
+        return jnp.sqrt(dist2), idx
     res = knn_points(unknown, known, K=3, exact=True)
     return jnp.sqrt(res.dists), res.idx
 
