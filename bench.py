@@ -30,7 +30,7 @@ def main():
     from garment4d_tpu.models import GarmentAssets, PosedGarmentModel
     from garment4d_tpu.train.step import body_inputs_from_batch
 
-    B, T, N = 4, 10, 6890
+    B, T, N = 8, 10, 6890
     assets = GarmentAssets.synthetic(num_rings=125, ring_size=16)  # Vg=2000
     body_model = smpl.synthetic_smpl(num_verts=6890)
     model = PosedGarmentModel(

@@ -5,6 +5,7 @@ extension (reference `modules/pointnet2/pointnet2/src/`, SURVEY.md section 2.1).
 from garment4d_tpu.ops.pointcloud import (
     KnnResult,
     ball_query,
+    ball_query_multi,
     furthest_point_sample,
     gather_points,
     group_all,
@@ -34,6 +35,7 @@ from garment4d_tpu.ops.graph import (
 __all__ = [
     "KnnResult",
     "ball_query",
+    "ball_query_multi",
     "furthest_point_sample",
     "gather_points",
     "group_all",

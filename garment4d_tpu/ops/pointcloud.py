@@ -189,6 +189,23 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     return out.transpose(1, 0, 2, 3).reshape(B, M_pad, nsample)[:, :M]
 
 
+def ball_query_multi(radii, nsamples, xyz: Array, new_xyz: Array,
+                     use_pallas: Optional[bool] = None):
+    """Several ball queries over the same (xyz, new_xyz): returns a tuple of
+    idx arrays. On TPU the distance matrix is shared across radii in one
+    fused Pallas kernel."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+
+        return ball_query_multi_pallas(
+            tuple(float(r) for r in radii), tuple(int(s) for s in nsamples),
+            lax.stop_gradient(xyz), lax.stop_gradient(new_xyz))
+    return tuple(ball_query(r, s, xyz, new_xyz, use_pallas=False)
+                 for r, s in zip(radii, nsamples))
+
+
 class QueryAndGroupResult(NamedTuple):
     features: Array  # (B, M, S, 3 + C) or (B, M, S, 3)
     idx: Array  # (B, M, S)
