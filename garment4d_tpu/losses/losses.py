@@ -112,7 +112,11 @@ def temporal_constraint_loss(pred_v: Array) -> Array:
 
 def acceleration_error(pred_v: Array, gt_v: Array, fps: float = 30.0) -> Array:
     """Finite-difference acceleration error metric (reference
-    `temporal_loss.py:133-145`). pred_v, gt_v: (B, T, V, 3)."""
+    `temporal_loss.py:133-145`). pred_v, gt_v: (B, T, V, 3).
+    Needs T >= 3 (returns 0 otherwise; the reference NaNs on the mean of an
+    empty tensor)."""
+    if pred_v.shape[1] < 3:
+        return jnp.zeros(())
     dt = 1.0 / fps
 
     def accel(v):

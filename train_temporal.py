@@ -178,6 +178,9 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.output_dir, "ckpt", args.ckpt_name)
 
     if args.only_eval:
+        if args.vis:
+            _export_predictions(args, model, state, eval_batches(0), assets,
+                                body_model, logger)
         means = eval_one_epoch(state, eval_batches(0), eval_step, logger=logger)
         logger.info(f"EVAL RESULT: {eval_metric}={means.get(eval_metric):.6f}")
         print({k: round(v, 6) for k, v in sorted(means.items())})
@@ -192,6 +195,54 @@ def main(argv=None):
         use_plateau=bool(args.lr_sche), eval_metric=eval_metric,
         save_fn=save_fn, logger=logger)
     return history
+
+
+def _export_predictions(args, model, state, batches, assets, body_model,
+                        logger, max_batches: int = 2):
+    """--vis: dump per-frame predictions (seg-coloured PLY + OBJs) for the
+    first eval batches (working replacement for the reference's unreachable
+    aggregation/vis path, SURVEY.md 2.7)."""
+    import numpy as np
+    import jax
+
+    from garment4d_tpu.data.export import export_frame
+    from garment4d_tpu.train.step import body_inputs_from_batch
+
+    vis_dir = os.path.join(args.output_dir, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": {k: v for k, v in state.constants.items()
+                               if k != "loss_lap_adj"}}
+    for bi, batch in enumerate(batches):
+        if bi >= max_batches:
+            break
+        if args.GarmentPCALBS:
+            out = model.apply(variables, batch["pcd"],
+                              body_inputs_from_batch(batch), train=False)
+            pred = np.asarray(out.iter_garment_v[-1])  # (B, T, Vg, 3)
+        else:
+            out = model.apply(variables, batch["pcd"], train=False)
+            pred = np.asarray(out.tpose_garment)[:, None]  # (B, 1, Vg, 3)
+        pcd = np.asarray(batch["pcd"])
+        labels = np.asarray(
+            jax.numpy.argmax(out.backbone.sem_logits, -1)
+            if not args.GarmentPCALBS
+            else jax.numpy.argmax(out.canonical.backbone.sem_logits, -1))
+        B, T = pcd.shape[:2]
+        labels = labels.reshape(B, T, -1)
+        for b in range(B):
+            for t in range(min(T, pred.shape[1])):
+                export_frame(
+                    vis_dir, f"b{bi}_s{b}_f{t}",
+                    {"pcd": pcd[b, t], "pcd_labels": labels[b, t],
+                     "pred_garment": pred[b, t],
+                     "gt_garment": np.asarray(batch["garment"])[b, t]
+                     if args.GarmentPCALBS else
+                     np.asarray(batch["garment_template_vertices"])[b],
+                     "body": np.asarray(batch["smpl_vertices"])[b, t]},
+                    garment_faces=assets.faces_tri,
+                    body_faces=body_model.faces)
+    logger.info(f"wrote visualisations to {vis_dir}")
 
 
 if __name__ == "__main__":
