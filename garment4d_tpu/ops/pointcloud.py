@@ -269,6 +269,11 @@ def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
 
     def one_chunk(q):
         d2 = pairwise_sqdist(q, points, exact=exact)
+        if K == 1:
+            # argmin instead of top_k: top_k lowers to a full sort on TPU
+            best = jnp.min(d2, axis=-1, keepdims=True)
+            idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
+            return KnnResult(best, idx)
         neg, idx = lax.top_k(-d2, K)
         return KnnResult(-neg, idx.astype(jnp.int32))
 
