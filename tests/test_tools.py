@@ -56,3 +56,44 @@ class TestFitBody:
         fitted_sel = res.vertices[:, sel]
         err = np.sqrt(((fitted_sel - target) ** 2).sum(-1)).mean()
         assert err < 0.05, f"correspondence fit error {err}"
+
+
+class TestFitPca:
+    def test_roundtrip_and_format(self, rng):
+        from garment4d_tpu.models import GarmentAssets
+        from garment4d_tpu.tools.fit_pca import (
+            fit_pca_basis, inverse_transform, save_basis, transform)
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)
+        V = assets.num_verts
+        S, k = 40, 16
+        coeffs_true = rng.randn(S, k).astype(np.float32)
+        basis_dirs = rng.randn(k, V * 3).astype(np.float32) * 0.05
+        verts = (assets.template_v.reshape(-1)[None]
+                 + coeffs_true @ basis_dirs).reshape(S, V, 3)
+
+        basis = fit_pca_basis(verts, n_components=k)
+        assert basis["components"].shape == (k, V * 3)
+        assert basis["ss_scale"].shape == (V * 3,)
+
+        coeff = transform(basis, verts)
+        recon = inverse_transform(basis, coeff)
+        err = np.abs(recon - verts).max()
+        assert err < 1e-3, f"pca roundtrip err {err}"
+
+    def test_loadable_by_assets(self, tmp_path, rng):
+        from garment4d_tpu.models import GarmentAssets
+        from garment4d_tpu.data.obj_io import write_obj
+        from garment4d_tpu.tools.fit_pca import fit_pca_basis, save_basis
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)
+        V = assets.num_verts
+        verts = assets.template_v[None] + rng.randn(30, V, 3).astype(np.float32) * 0.02
+        basis = fit_pca_basis(verts, n_components=8)
+        pkl = str(tmp_path / "PCABase_SS.pkl")
+        save_basis(pkl, basis)
+        obj = str(tmp_path / "T.obj")
+        write_obj(obj, assets.template_v, assets.faces)
+        loaded = GarmentAssets.from_files("Skirt", obj, pkl, pca_dim=8)
+        assert loaded.pca_dim == 8
+        assert loaded.num_verts == V
