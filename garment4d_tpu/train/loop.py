@@ -96,10 +96,17 @@ class MetricAccumulator:
 def train_one_epoch(state: TrainState, batches: Iterable, train_step,
                     rng: jax.Array, writer: Optional[MetricWriter] = None,
                     epoch: int = 0, steps_per_epoch: Optional[int] = None,
-                    logger=None):
+                    logger=None, progress: bool = False):
     """Runs one epoch; returns (state, mean_losses)."""
     acc = MetricAccumulator()
     t0 = time.time()
+    if progress:  # live loss postfix (reference `train_temporal.py:255-272`)
+        try:
+            from tqdm import tqdm
+
+            batches = tqdm(batches, desc=f"epoch {epoch}", leave=False)
+        except ImportError:
+            pass
     for i, batch in enumerate(batches):
         rng, step_rng = jax.random.split(rng)
         state, loss_dict = train_step(state, batch, step_rng)

@@ -112,18 +112,25 @@ def main(argv=None):
             exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
         logger.info(f"train windows: {len(ds_train)}  eval windows: {len(ds_eval)}")
 
-        def make_gen(ds, shuffle):
+        def make_gen(ds, shuffle, drop_last):
             def gen(epoch):
                 order = np.arange(len(ds))
                 if shuffle:
                     np.random.RandomState(epoch).shuffle(order)
                 bs = args.batch_size
-                for i in range(0, len(order) - bs + 1, bs):
-                    raw = ds.collate([ds.raw_item(j) for j in order[i:i + bs]])
+                stop = len(order) - bs + 1 if drop_last else len(order)
+                for i in range(0, stop, bs):
+                    idxs = list(order[i:i + bs])
+                    # pad the eval tail with repeats (reference eval sampler
+                    # pads, `utils/train_utils.py:12-31`)
+                    while len(idxs) < bs:
+                        idxs.append(idxs[-1])
+                    raw = ds.collate([ds.raw_item(j) for j in idxs])
                     yield shard_batch(
                         finalize_batch(raw, body_models, npoints), mesh)
             return gen
-        train_batches, eval_batches = make_gen(ds_train, True), make_gen(ds_eval, False)
+        train_batches = make_gen(ds_train, True, drop_last=True)
+        eval_batches = make_gen(ds_eval, False, drop_last=False)
 
     # ---------------- model ----------------
     example = next(train_batches(0))
@@ -163,6 +170,15 @@ def main(argv=None):
 
     state = make_state_for(model, variables, assets, lr=args.lr,
                            freeze_canonical=bool(args.fix_PCA))
+
+    # auto-resume from an existing checkpoint in output_dir (parity with the
+    # reference's build(), `train_temporal.py:136-156`)
+    start_epoch = 0
+    auto_ckpt = os.path.join(args.output_dir, "ckpt", args.ckpt_name)
+    if os.path.isdir(auto_ckpt) and not args.only_eval:
+        state, start_epoch, other = ckpt_lib.restore_checkpoint(auto_ckpt, state)
+        logger.info(f"auto-resumed from {auto_ckpt} at epoch {start_epoch} "
+                    f"(best {other.get('best_v_l2')})")
 
     weights = cfg.LOSS
     if args.GarmentPCALBS:
