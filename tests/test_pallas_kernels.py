@@ -1,0 +1,69 @@
+"""Interpret-mode tests for the Pallas kernels (runs on CPU CI).
+
+The TPU-compiled kernels are additionally validated against the XLA paths on
+real hardware (see README perf notes); these tests pin the kernel semantics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from golden import ball_query_ref, fps_ref, three_nn_ref
+
+
+class TestBallQueryKernel:
+    def test_matches_golden(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_pallas
+
+        xyz = rng.randn(2, 150, 3).astype(np.float32)
+        centers = xyz[:, :40]
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ball_query_pallas(0.5, 8, jnp.asarray(xyz),
+                                               jnp.asarray(centers)))
+        want = ball_query_ref(0.5, 8, xyz, centers)
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_hits_zero(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_pallas
+
+        xyz = np.ones((1, 20, 3), np.float32) * 50
+        centers = np.zeros((1, 5, 3), np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ball_query_pallas(0.1, 4, jnp.asarray(xyz),
+                                               jnp.asarray(centers)))
+        np.testing.assert_array_equal(got, np.zeros((1, 5, 4), np.int32))
+
+
+class TestThreeNNKernel:
+    def test_matches_golden(self, rng):
+        from garment4d_tpu.ops.pallas.three_nn import three_nn_pallas
+
+        unknown = rng.randn(2, 100, 3).astype(np.float32)
+        known = rng.randn(2, 37, 3).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            d2, idx = three_nn_pallas(jnp.asarray(unknown), jnp.asarray(known))
+        want_d, want_i = three_nn_ref(unknown, known)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), want_d,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestMultiRadiusKernel:
+    def test_matches_singles(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import (
+            ball_query_multi_pallas,
+            ball_query_pallas,
+        )
+
+        xyz = rng.randn(1, 130, 3).astype(np.float32)
+        centers = xyz[:, :32]
+        with pltpu.force_tpu_interpret_mode():
+            multi = ball_query_multi_pallas(
+                (0.2, 0.5), (4, 8), jnp.asarray(xyz), jnp.asarray(centers))
+            singles = [
+                np.asarray(ball_query_pallas(r, s, jnp.asarray(xyz),
+                                             jnp.asarray(centers)))
+                for r, s in ((0.2, 4), (0.5, 8))]
+        for m, s in zip(multi, singles):
+            np.testing.assert_array_equal(np.asarray(m), s)

@@ -75,7 +75,13 @@ def main(argv=None):
     body_faces_t = tuple(map(tuple, body_model.faces.tolist()))
 
     # ---------------- data ----------------
-    mesh = make_mesh()
+    import math
+
+    n_dev = math.gcd(args.batch_size, len(jax.devices()))
+    mesh = make_mesh(jax.devices()[:n_dev])
+    if n_dev != len(jax.devices()):
+        logger.info(f"batch {args.batch_size}: using {n_dev} of "
+                    f"{len(jax.devices())} devices for dp")
     check_batch_divisible(args.batch_size, mesh)
 
     if args.synthetic_data:
