@@ -148,3 +148,30 @@ class TestPosedModel:
         # frozen stage-1: zero grads; stage-2 GCN gets real grads
         assert max(canon_norms) == 0.0
         assert max(other_norms) > 0.0
+
+
+class TestSplitQueryGroupPE:
+    def test_matches_unsplit_formulation(self, rng):
+        """The projected-gather PE must equal gather-then-MLP exactly."""
+        from garment4d_tpu import ops
+        from garment4d_tpu.models.posed import SplitQueryGroupPE
+
+        B_, Np, M, C, F = 2, 64, 10, 12, 8
+        xyz = jnp.asarray(rng.randn(B_, Np, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(B_, Np, C).astype(np.float32))
+        centers = jnp.asarray(np.asarray(xyz)[:, :M])
+
+        mod = SplitQueryGroupPE(in_features=3 + C, feat_num=F,
+                                radius=0.8, nsample=4)
+        variables = mod.init(jax.random.PRNGKey(0), xyz, centers, feats)
+        got = np.asarray(mod.apply(variables, xyz, centers, feats))
+
+        p = variables["params"]
+        k0 = np.asarray(p["linear0"]["kernel"])
+        b0 = np.asarray(p["linear0"]["bias"])
+        k1 = np.asarray(p["linear1"]["kernel"])
+        b1 = np.asarray(p["linear1"]["bias"])
+        qg = np.asarray(ops.query_and_group(0.8, 4, xyz, centers, feats))
+        h = np.maximum(qg @ k0 + b0, 0.0) @ k1 + b1
+        want = h.max(axis=-2)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
