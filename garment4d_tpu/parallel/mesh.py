@@ -40,9 +40,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place every array in a batch dict/pytree with its leading dim sharded."""
+    """Place every array in a batch dict/pytree with its leading dim sharded.
+
+    Single-host: a plain device_put. Multi-host: the input is this process's
+    LOCAL shard (leading dim = global_batch / process_count) and the global
+    array is assembled via make_array_from_process_local_data - each host
+    only ever loads its own slice of the data (the TPU equivalent of the
+    reference's DistributedSampler, `utils/train_utils.py:12-31`).
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)
+
+
+def local_batch_indices(global_indices, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None):
+    """The rows of a global batch owned by this host (contiguous block
+    layout, matching the leading-axis NamedSharding)."""
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    local = len(global_indices) // n
+    return global_indices[p * local:(p + 1) * local]
 
 
 def check_batch_divisible(batch_size: int, mesh: Mesh,

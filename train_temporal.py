@@ -118,6 +118,8 @@ def main(argv=None):
             exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
         logger.info(f"train windows: {len(ds_train)}  eval windows: {len(ds_eval)}")
 
+        from garment4d_tpu.parallel.mesh import local_batch_indices
+
         def make_gen(ds, shuffle, drop_last):
             def gen(epoch):
                 order = np.arange(len(ds))
@@ -131,6 +133,9 @@ def main(argv=None):
                     # pads, `utils/train_utils.py:12-31`)
                     while len(idxs) < bs:
                         idxs.append(idxs[-1])
+                    # multi-host: each process reads only its slice of the
+                    # global batch; shard_batch assembles the global arrays
+                    idxs = local_batch_indices(idxs)
                     raw = ds.collate([ds.raw_item(j) for j in idxs])
                     yield shard_batch(
                         finalize_batch(raw, body_models, npoints), mesh)
