@@ -30,6 +30,7 @@ def template_pose(batch: int) -> Array:
     return pose.reshape(batch, 72)
 
 
+@jax.jit
 def smpl_triple_forward(model: SmplModel, pose: Array, betas: Array):
     """Run the 3 SMPL forwards of the data pipeline (posed / T-pose / zero)
     batched on device (replaces the per-item CPU calls of reference

@@ -163,7 +163,7 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
     """xyz: (B, N, 3), new_xyz: (B, M, 3) -> (B, M, nsample) int32."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
-    TILE_M = 32  # 4 sublane groups per block: fewer grid steps, same VPU work
+    TILE_M = 64  # 8 sublane groups per block: fewer grid steps, same VPU work
     n_pad = _round_up(N, 128)
     m_pad = _round_up(M, TILE_M)
     s_pad = _round_up(nsample, 128)
