@@ -62,7 +62,7 @@ def make_canonical_steps(model, assets, body_faces: np.ndarray,
             out, batch, assets.faces_tri, body_faces, weights, only_seg=only_seg)
         return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (loss_dict, new_stats)), grads = grad_fn(
@@ -101,7 +101,7 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
         loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
         return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (loss_dict, new_stats)), grads = grad_fn(

@@ -83,14 +83,17 @@ class TestPosedTrainStep:
         state = make_state_for(model, variables, assets, lr=1e-2,
                                freeze_canonical=True)
         train_step, _ = make_posed_steps(model, assets, body_model.faces)
-        before_canon = jax.tree_util.tree_leaves(state.params["canonical"])
-        before_gcn = jax.tree_util.tree_leaves(state.params["gcn0_0"])
+        # copy to host before the step: train_step donates the state buffers
+        before_canon = [np.asarray(x) for x in
+                        jax.tree_util.tree_leaves(state.params["canonical"])]
+        before_gcn = [np.asarray(x) for x in
+                      jax.tree_util.tree_leaves(state.params["gcn0_0"])]
         state, losses = train_step(state, batch, jax.random.PRNGKey(2))
         after_canon = jax.tree_util.tree_leaves(state.params["canonical"])
         after_gcn = jax.tree_util.tree_leaves(state.params["gcn0_0"])
         for a, b in zip(before_canon, after_canon):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(a, np.asarray(b))
+        assert any(not np.allclose(a, np.asarray(b))
                    for a, b in zip(before_gcn, after_gcn))
         assert np.isfinite(float(losses["total_loss"]))
 
