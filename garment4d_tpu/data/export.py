@@ -99,6 +99,30 @@ def render_mesh(vertices: np.ndarray, faces: np.ndarray, size: int = 256,
     return img
 
 
+def save_image(path: str, image: np.ndarray) -> None:
+    """Save a grayscale/rgb float image (reference `nr_utils.save_images`).
+    PNG via matplotlib when available, binary PPM/PGM fallback."""
+    img = np.asarray(image, np.float64)
+    img = np.clip(img / max(img.max(), 1e-9), 0, 1)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, img, cmap=None if img.ndim == 3 else "gray")
+        return
+    except Exception:
+        pass
+    data = (img * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        if data.ndim == 2:
+            f.write(b"P5\n%d %d\n255\n" % (data.shape[1], data.shape[0]))
+        else:
+            f.write(b"P6\n%d %d\n255\n" % (data.shape[1], data.shape[0]))
+        f.write(data.tobytes())
+
+
 def export_frame(output_dir: str, tag: str, result: Dict[str, np.ndarray],
                  garment_faces: Optional[np.ndarray] = None,
                  body_faces: Optional[np.ndarray] = None) -> None:

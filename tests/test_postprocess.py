@@ -105,3 +105,11 @@ class TestExport:
         img = render_mesh(assets.template_v, assets.faces_tri, size=64)
         assert img.shape == (64, 64)
         assert img.max() > 0  # something was rasterised
+
+    def test_save_image(self, tmp_path, assets):
+        from garment4d_tpu.data.export import save_image
+
+        img = render_mesh(assets.template_v, assets.faces_tri, size=64)
+        p = str(tmp_path / "r.png")
+        save_image(p, img)
+        assert os.path.getsize(p) > 100
