@@ -68,11 +68,32 @@ class SmplModel:
                     self.lbs_weights, pose2rot=True)
 
 
+class _HashableArray:
+    """Hashable numpy wrapper so static pytree metadata (parents, faces) works
+    with jit's treedef equality/hash checks."""
+
+    __slots__ = ("array", "_hash")
+
+    def __init__(self, array):
+        self.array = np.asarray(array)
+        self._hash = hash((self.array.shape, self.array.tobytes()))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, _HashableArray)
+                and self.array.shape == other.array.shape
+                and bool((self.array == other.array).all()))
+
+
 jax.tree_util.register_pytree_node(
     SmplModel,
     lambda m: ((m.v_template, m.shapedirs, m.posedirs, m.J_regressor,
-                m.lbs_weights), (m.parents, m.faces)),
-    lambda aux, leaves: SmplModel(*leaves, parents=aux[0], faces=aux[1]),
+                m.lbs_weights),
+               (_HashableArray(m.parents), _HashableArray(m.faces))),
+    lambda aux, leaves: SmplModel(*leaves, parents=aux[0].array,
+                                  faces=aux[1].array),
 )
 
 
