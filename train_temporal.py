@@ -28,6 +28,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     from garment4d_tpu import losses, smpl
     from garment4d_tpu.models import (
         CanonicalGarmentModel,
