@@ -56,10 +56,10 @@ def _bq_multi_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples,
             rolled = pltpu.roll(cum, shift, axis=1)
             cum = cum + jnp.where(lane >= shift, rolled, 0)
             shift *= 2
-        cnt = jnp.max(jnp.where(valid, cum, 0), axis=-1, keepdims=True)
+        cnt = cum[:, -1:]  # padded lanes hold cum == cnt (see _bq_kernel)
         slots = []
         for s in range(nsample):
-            below = jnp.logical_and(cum < s + 1, valid)
+            below = cum < s + 1
             slots.append(jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True))
         idx = jnp.concatenate(slots, axis=-1)
         first_hit = idx[:, 0:1]
@@ -137,11 +137,15 @@ def _bq_kernel(xyz_ref, centers_ref, out_ref, *, radius2: float, nsample: int,
         rolled = pltpu.roll(cum, shift, axis=1)
         cum = cum + jnp.where(lane >= shift, rolled, 0)
         shift *= 2
-    cnt = jnp.max(jnp.where(valid, cum, 0), axis=-1, keepdims=True)  # (Tm, 1)
+    # padded lanes hold cum == cnt after the prefix (their mask is False), so
+    # for any live slot s < cnt they satisfy cum >= s+1 and never count; for
+    # dead slots the value is overwritten below. The valid-mask AND can
+    # therefore be dropped from the hot counting loop.
+    cnt = cum[:, -1:]  # (Tm, 1)
 
     slots = []
     for s in range(nsample):
-        below = jnp.logical_and(cum < s + 1, valid)
+        below = cum < s + 1
         idx_s = jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True)  # (Tm, 1)
         slots.append(idx_s)
     idx = jnp.concatenate(slots, axis=-1)  # (Tm, nsample)
