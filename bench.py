@@ -35,7 +35,7 @@ def main():
     body_model = smpl.synthetic_smpl(num_verts=6890)
     model = PosedGarmentModel(
         assets=assets,
-        body_faces=tuple(map(tuple, body_model.faces.tolist())),
+        body_faces=body_model.faces,
         lbs_k=256, iterations=3)
 
     batch = make_batch(assets, body_model, batch_size=B, T=T, npoints=N)

@@ -48,7 +48,7 @@ class GarmentReconstructor:
 
         model = PosedGarmentModel(
             assets=assets,
-            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            body_faces=body_model.faces,
             lbs_k=lbs_k, iterations=iterations)
         B, T, N = example_shape
         example = make_batch(assets, body_model, batch_size=B, T=T, npoints=N)

@@ -30,7 +30,7 @@ class MgnGarmentModel(nn.Module):
     """MGN baseline: displacement MLP + K=1 LBS, no refinement."""
 
     assets: GarmentAssets
-    body_faces: tuple = ()
+    body_faces: object = None  # accepted for API symmetry; unused in forward
     bn_axis_name: Optional[str] = None
 
     @nn.compact

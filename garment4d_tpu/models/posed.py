@@ -108,7 +108,10 @@ class PosedGarmentModel(nn.Module):
     """Stage 2: canonical garment + SMPL poses -> posed garment sequence."""
 
     assets: GarmentAssets
-    body_faces: tuple = ()  # static (F, 3) triangle list of the SMPL body
+    # (F, 3) triangle array of the SMPL body. Captured into the `constants`
+    # variable collection at init so it enters jitted programs as a runtime
+    # input (like the PCA basis / smooth_op), not as a python-hashed static.
+    body_faces: object = None
     lbs_k: int = 256        # cfg.NETWORK.LBSK
     iterations: int = 3     # cfg.NETWORK.ITERATION
     feat_num: int = 32
@@ -141,7 +144,9 @@ class PosedGarmentModel(nn.Module):
             canonical)
 
         # ---- body vertex normals ------------------------------------------
-        body_faces = np.asarray(self.body_faces, np.int32)
+        body_faces = self.variable(
+            "constants", "body_faces",
+            lambda: jnp.asarray(np.asarray(self.body_faces, np.int32))).value
         body_v = body.smpl_vertices.reshape(BT, -1, 3)
         body_vn = ops.vertex_normals(body_v, body_faces)
 

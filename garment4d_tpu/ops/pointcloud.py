@@ -166,13 +166,14 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
         d2 = pairwise_sqdist(centers, xyz)  # (B, Cm, N)
         mask = d2 < r2
         # cumulative hit count is monotone, so "index of the (s+1)-th hit" is
-        # searchsorted(cum, s+1) == sum(cum < s+1): a dense vectorised
-        # reduction over N (VPU-friendly; no serialised scatters, no
-        # scalar-granularity binary-search gathers)
+        # searchsorted(cum, s+1): log(N) binary-search steps per slot and
+        # (B, Cm, N) peak memory - the dense (B, Cm, N, nsample) comparison
+        # formulation blows memory at production shapes (this path is the
+        # CPU/golden fallback; the TPU path is the chunked Pallas kernel)
         cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # (B, Cm, N)
-        idx = jnp.sum(
-            (cum[..., :, None] < targets).astype(jnp.int32), axis=-2,
-            dtype=jnp.int32)  # (B, Cm, nsample)
+        idx = jax.vmap(jax.vmap(
+            lambda c: jnp.searchsorted(c, targets, side="left")))(
+                cum).astype(jnp.int32)  # (B, Cm, nsample)
         cnt = cum[..., -1]  # hits per center
         first_hit = jnp.where(cnt > 0, jnp.argmax(mask, axis=-1), 0).astype(jnp.int32)
         # slots beyond the hit count replicate the first hit (CUDA semantics);

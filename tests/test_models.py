@@ -91,7 +91,7 @@ class TestPosedModel:
     def test_forward_shapes_and_loss(self, assets, body_model, batch):
         model = PosedGarmentModel(
             assets=assets,
-            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            body_faces=body_model.faces,
             lbs_k=8, iterations=3)
         body = BodyInputs(
             pose=batch["pose"],
@@ -122,7 +122,7 @@ class TestPosedModel:
     def test_gradients_skip_canonical(self, assets, body_model, batch):
         model = PosedGarmentModel(
             assets=assets,
-            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            body_faces=body_model.faces,
             lbs_k=4, iterations=2)
         body = BodyInputs(
             pose=batch["pose"],

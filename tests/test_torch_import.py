@@ -108,7 +108,7 @@ def posed_setup():
     body_model = smpl.synthetic_smpl(num_verts=200)
     model = PosedGarmentModel(
         assets=assets,
-        body_faces=tuple(map(tuple, body_model.faces.tolist())),
+        body_faces=body_model.faces,
         lbs_k=4, iterations=3)
     batch = make_batch(assets, body_model, batch_size=1, T=2, npoints=1536)
     body = body_inputs_from_batch(batch)

@@ -76,7 +76,7 @@ class TestPosedTrainStep:
         assets, body_model, batch = setup
         model = PosedGarmentModel(
             assets=assets,
-            body_faces=tuple(map(tuple, body_model.faces.tolist())),
+            body_faces=body_model.faces,
             lbs_k=4, iterations=2)
         variables = model.init(jax.random.PRNGKey(0), batch["pcd"],
                                body_inputs_from_batch(batch), train=False)

@@ -75,7 +75,7 @@ def main(argv=None):
                     f"SMPL_{gender.upper()} not found in {args.smpl_model_dir}")
         npoints = cfg.NETWORK.NPOINTS
     body_model = body_models["male"]
-    body_faces_t = tuple(map(tuple, body_model.faces.tolist()))
+    body_faces_t = body_model.faces  # (F, 3) int array
 
     # ---------------- data ----------------
     import math
