@@ -1,16 +1,25 @@
-"""Fused ball-query Pallas kernel.
-
-The XLA counting formulation materialises a (B, M, N, nsample) comparison
-tensor in HBM (~12 GB accessed per call at production shapes). This kernel
-keeps everything in VMEM: per 8-center sublane tile it computes squared
-distances to all N points (lanes), the in-radius mask, a lane-axis prefix
-sum, and then each slot's index as `searchsorted(cum, s+1) == sum(cum < s+1)`
-- one (8, N) compare+reduce per slot. HBM traffic is just the xyz read and
-the (M, nsample) index write.
+"""Fused ball-query Pallas kernel (prefix scan + conditional full rescan).
 
 Semantics match the reference CUDA kernel (`src/ball_query_gpu.cu:29-44`):
-first `nsample` in-radius indices in index order, tail slots replicate the
-first hit, centers with no hit keep index 0.
+for each center, the first `nsample` in-radius point indices in index order;
+tail slots replicate the first hit; centers with no hit keep index 0.
+
+Per center tile the kernel keeps everything in VMEM: it computes squared
+distances to a span of points (lanes), the in-radius mask, a lane-axis
+prefix sum, and then each slot's index as `searchsorted(cum, s+1) ==
+sum(cum < s+1)` - one (Tm, W) compare+reduce per slot. This full-vector
+scan runs at ~85% of VPU peak; HBM traffic is just the xyz read and the
+(M, nsample) index write.
+
+Early exit (`prefix` argument): because the semantics only need the FIRST
+`nsample` hits, high-density queries (the posed stage's body queries put
+~100+ body points inside even the 0.1 ball) find all their hits within the
+first couple thousand points. With `prefix=P` the kernel scans only points
+[0, P) and then, under a `pl.when` on "any live center still short of its
+quota", rescans the full array for straggler tiles. Typical tiles pay
+~P/N of the full cost; stragglers pay ~1.15x. Callers enable this only
+where hit density >> nsample (see `models/posed.py`); backbone SA queries,
+whose quotas need most of the array, keep the plain full scan.
 """
 
 from __future__ import annotations
@@ -28,62 +37,92 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bq_multi_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples,
-                     n_valid: int, tile_m: int):
-    """Multi-radius variant: shares d2 across radii (one output per radius).
-
-    Used when several ball queries hit the same (points, centers) pair with
-    different radii (the 3-scale body queries of the refinement,
-    reference `mesh_encoder.py:451-457`).
-    """
-    n_pad = xyz_ref.shape[-1]
-    lane = lax.broadcasted_iota(jnp.int32, (tile_m, n_pad), dimension=1)
+def _scan(xyz_ref, cx, cy, cz, hi, radii2, nsamples, s_pads, n_valid,
+          tile_m):
+    """Full-vector first-`nsample` scan of points [0, hi): returns per
+    radius (finalised idx (Tm, s_pad), hit count (Tm, 1))."""
+    lane = lax.broadcasted_iota(jnp.int32, (tile_m, hi), dimension=1)
     valid = lane < n_valid
+    xs = xyz_ref[0, :, 0:hi]  # (3, hi) static lane slice
+    d2 = ((xs[0:1, :] - cx) ** 2 + (xs[1:2, :] - cy) ** 2
+          + (xs[2:3, :] - cz) ** 2)  # (Tm, hi)
 
-    x = xyz_ref[0, 0:1, :]
-    y = xyz_ref[0, 1:2, :]
-    z = xyz_ref[0, 2:3, :]
-    cx = centers_ref[0, :, 0:1]
-    cy = centers_ref[0, :, 1:2]
-    cz = centers_ref[0, :, 2:3]
-    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (Tm, Np)
-
-    for r2, nsample, out_ref in zip(radii2, nsamples, out_refs):
+    results = []
+    for r2, S, s_pad in zip(radii2, nsamples, s_pads):
         mask = jnp.logical_and(d2 < r2, valid)
+        # lane-axis prefix sum via log-step rolls (no Mosaic cumsum)
         cum = mask.astype(jnp.int32)
         shift = 1
-        while shift < n_pad:
+        while shift < hi:
             rolled = pltpu.roll(cum, shift, axis=1)
             cum = cum + jnp.where(lane >= shift, rolled, 0)
             shift *= 2
-        cnt = cum[:, -1:]  # padded lanes hold cum == cnt (see _bq_kernel)
+        cnt = cum[:, hi - 1:hi]  # (Tm, 1)
         slots = []
-        for s in range(nsample):
+        for s in range(S):
             below = cum < s + 1
-            slots.append(jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True))
-        idx = jnp.concatenate(slots, axis=-1)
+            slots.append(jnp.sum(below.astype(jnp.int32), axis=-1,
+                                 keepdims=True))
+        idx = jnp.concatenate(slots, axis=-1)  # (Tm, S)
+        if s_pad != S:
+            idx = jnp.pad(idx, ((0, 0), (0, s_pad - S)))
         first_hit = idx[:, 0:1]
-        s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, nsample), dimension=1)
-        idx = jnp.where(s_iota < cnt, idx, first_hit)
+        s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, s_pad), dimension=1)
+        idx = jnp.where(s_iota < cnt, idx, first_hit)  # CUDA tail replication
         idx = jnp.where(cnt > 0, idx, 0)
-        s_pad = out_ref.shape[-1]
-        if s_pad != nsample:
-            idx = jnp.pad(idx, ((0, 0), (0, s_pad - nsample)))
+        results.append((idx, cnt))
+    return results
+
+
+def _bq_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples, s_pads,
+               n_valid: int, m_valid: int, tile_m: int, prefix_p: int):
+    """xyz_ref: (1, 3, Np); centers_ref: (1, Tm, 3);
+    out_refs: one (1, Tm, S_pad_r) per radius."""
+    n_pad = xyz_ref.shape[-1]
+    cx = centers_ref[0, :, 0:1]  # (Tm, 1)
+    cy = centers_ref[0, :, 1:2]
+    cz = centers_ref[0, :, 2:3]
+
+    first = min(prefix_p, n_pad)
+    results = _scan(xyz_ref, cx, cy, cz, first, radii2, nsamples, s_pads,
+                    n_valid, tile_m)
+    for (idx, _), out_ref in zip(results, out_refs):
         out_ref[0] = idx
 
+    if first < n_pad:
+        # padded center rows count as satisfied: they never force a rescan
+        row = lax.broadcasted_iota(jnp.int32, (tile_m, 1), dimension=0)
+        row_valid = (pl.program_id(1) * tile_m + row) < m_valid
+        unfinished = jnp.zeros((tile_m, 1), jnp.bool_)
+        for (_, cnt), S in zip(results, nsamples):
+            unfinished = jnp.logical_or(unfinished, cnt < S)
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+        @pl.when(jnp.any(jnp.logical_and(unfinished, row_valid)))
+        def _rescan():
+            full = _scan(xyz_ref, cx, cy, cz, n_pad, radii2, nsamples,
+                         s_pads, n_valid, tile_m)
+            for (idx, _), out_ref in zip(full, out_refs):
+                out_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
-                            new_xyz: jax.Array):
+                            new_xyz: jax.Array, prefix: int = 0):
     """Several ball queries over the same (xyz, new_xyz) pair.
 
-    radii/nsamples: tuples; returns a tuple of (B, M, nsample_i) int32."""
+    radii/nsamples: tuples; returns a tuple of (B, M, nsample_i) int32.
+    Shares the distance tile across radii. `prefix` > 0 enables the
+    early-exit prefix scan (see module docstring); 0 = plain full scan."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
-    TILE_M = 32
     n_pad = _round_up(N, 128)
+    # small point sets get bigger center tiles: fewer grid steps to pay the
+    # fixed per-step cost on; larger sets need the VMEM for the (Tm, N) scan
+    # arrays (measured: Tm=256 at N=1792 spills and runs 10x slower)
+    TILE_M = 64 if n_pad > 512 else (256 if n_pad > 128 else 512)
     m_pad = _round_up(M, TILE_M)
-    s_pads = [_round_up(s, 128) for s in nsamples]
+    s_pads = tuple(_round_up(s, 128) for s in nsamples)
+    prefix_p = _round_up(prefix, 128) if prefix else n_pad
 
     xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)
     if n_pad != N:
@@ -93,8 +132,9 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
         centers = jnp.pad(centers, ((0, 0), (0, m_pad - M), (0, 0)))
 
     kernel = functools.partial(
-        _bq_multi_kernel, radii2=tuple(float(r) ** 2 for r in radii),
-        nsamples=tuple(nsamples), n_valid=N, tile_m=TILE_M)
+        _bq_kernel, radii2=tuple(float(r) ** 2 for r in radii),
+        nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
+        n_valid=N, m_valid=M, tile_m=TILE_M, prefix_p=prefix_p)
     outs = pl.pallas_call(
         kernel,
         grid=(B, m_pad // TILE_M),
@@ -113,86 +153,9 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     return tuple(o[:, :M, :s] for o, s in zip(outs, nsamples))
 
 
-def _bq_kernel(xyz_ref, centers_ref, out_ref, *, radius2: float, nsample: int,
-               n_valid: int, tile_m: int):
-    # xyz_ref: (1, 3, Np); centers_ref: (1, Tm, 3); out_ref: (1, Tm, Sp)
-    n_pad = xyz_ref.shape[-1]
-    lane = lax.broadcasted_iota(jnp.int32, (tile_m, n_pad), dimension=1)
-    valid = lane < n_valid
-
-    x = xyz_ref[0, 0:1, :]  # (1, Np)
-    y = xyz_ref[0, 1:2, :]
-    z = xyz_ref[0, 2:3, :]
-    cx = centers_ref[0, :, 0:1]  # (Tm, 1)
-    cy = centers_ref[0, :, 1:2]
-    cz = centers_ref[0, :, 2:3]
-
-    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (Tm, Np)
-    mask = jnp.logical_and(d2 < radius2, valid)
-
-    # lane-axis prefix sum via log-step rolls (cumsum has no Mosaic lowering)
-    cum = mask.astype(jnp.int32)
-    shift = 1
-    while shift < n_pad:
-        rolled = pltpu.roll(cum, shift, axis=1)
-        cum = cum + jnp.where(lane >= shift, rolled, 0)
-        shift *= 2
-    # padded lanes hold cum == cnt after the prefix (their mask is False), so
-    # for any live slot s < cnt they satisfy cum >= s+1 and never count; for
-    # dead slots the value is overwritten below. The valid-mask AND can
-    # therefore be dropped from the hot counting loop.
-    cnt = cum[:, -1:]  # (Tm, 1)
-
-    slots = []
-    for s in range(nsample):
-        below = cum < s + 1
-        idx_s = jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True)  # (Tm, 1)
-        slots.append(idx_s)
-    idx = jnp.concatenate(slots, axis=-1)  # (Tm, nsample)
-
-    first_hit = idx[:, 0:1]
-    s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, nsample), dimension=1)
-    idx = jnp.where(s_iota < cnt, idx, first_hit)
-    idx = jnp.where(cnt > 0, idx, 0)
-
-    s_pad = out_ref.shape[-1]
-    if s_pad != nsample:
-        idx = jnp.pad(idx, ((0, 0), (0, s_pad - nsample)))
-    out_ref[0] = idx
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
-                      new_xyz: jax.Array) -> jax.Array:
+                      new_xyz: jax.Array, prefix: int = 0) -> jax.Array:
     """xyz: (B, N, 3), new_xyz: (B, M, 3) -> (B, M, nsample) int32."""
-    B, N, _ = xyz.shape
-    M = new_xyz.shape[1]
-    TILE_M = 64  # 8 sublane groups per block: fewer grid steps, same VPU work
-    n_pad = _round_up(N, 128)
-    m_pad = _round_up(M, TILE_M)
-    s_pad = _round_up(nsample, 128)
-
-    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)
-    if n_pad != N:
-        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
-    centers = new_xyz.astype(jnp.float32)
-    if m_pad != M:
-        centers = jnp.pad(centers, ((0, 0), (0, m_pad - M), (0, 0)))
-
-    kernel = functools.partial(
-        _bq_kernel, radius2=float(radius) ** 2, nsample=nsample,
-        n_valid=N, tile_m=TILE_M)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, m_pad // TILE_M),
-        in_specs=[
-            pl.BlockSpec((1, 3, n_pad), lambda b, m: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M, 3), lambda b, m: (b, m, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE_M, s_pad), lambda b, m: (b, m, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m_pad, s_pad), jnp.int32),
-    )(xyz_t, centers)
-    return out[:, :M, :nsample]
+    return ball_query_multi_pallas((radius,), (nsample,), xyz, new_xyz,
+                                   prefix)[0]

@@ -132,7 +132,8 @@ def group_points(points: Array, idx: Array) -> Array:
 
 
 def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
-               chunk: int = 1024, use_pallas: Optional[bool] = None) -> Array:
+               chunk: int = 1024, use_pallas: Optional[bool] = None,
+               prefix: int = 0) -> Array:
     """For each center, indices of the first `nsample` points within `radius`.
 
     xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, nsample) int32.
@@ -142,6 +143,11 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     hits overwrite slots in order; centers with no in-radius point keep the
     zero-initialised indices. Implemented as mask -> prefix-sum rank ->
     unique-slot scatter (no sequential scan, no atomics).
+
+    `prefix` > 0 is a pure performance hint for the TPU kernel: scan only
+    the first `prefix` points, falling back to a full rescan for center
+    tiles that don't find `nsample` hits there. Results are identical for
+    any value; enable where hit density >> nsample.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -152,7 +158,7 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
         # stop_gradient also keeps autodiff from trying to differentiate
         # through the pallas_call
         return ball_query_pallas(radius, nsample, lax.stop_gradient(xyz),
-                                 lax.stop_gradient(new_xyz))
+                                 lax.stop_gradient(new_xyz), prefix)
 
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -161,9 +167,11 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
     targets = jnp.arange(1, nsample + 1, dtype=jnp.int32)
 
     def one_chunk(centers):  # (B, Cm, 3) -> (B, Cm, nsample)
-        # MXU-form distances (full-f32 accumulation): ~1e-6 absolute error vs
-        # the diff-form scan, materialises (B, Cm, N) instead of (B, Cm, N, 3)
-        d2 = pairwise_sqdist(centers, xyz)  # (B, Cm, N)
+        # exact diff-form distances: bit-identical to the CUDA kernel and the
+        # Pallas TPU kernel, so radius-boundary membership never flips
+        # between backends (the MXU-form expansion is ~1e-6 off, enough to
+        # flip ~1e-5 of slots at production shapes)
+        d2 = pairwise_sqdist(centers, xyz, exact=True)  # (B, Cm, N)
         mask = d2 < r2
         # cumulative hit count is monotone, so "index of the (s+1)-th hit" is
         # searchsorted(cum, s+1): log(N) binary-search steps per slot and
@@ -191,10 +199,10 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
 
 
 def ball_query_multi(radii, nsamples, xyz: Array, new_xyz: Array,
-                     use_pallas: Optional[bool] = None):
+                     use_pallas: Optional[bool] = None, prefix: int = 0):
     """Several ball queries over the same (xyz, new_xyz): returns a tuple of
     idx arrays. On TPU the distance matrix is shared across radii in one
-    fused Pallas kernel."""
+    fused Pallas kernel. `prefix` as in `ball_query`."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -202,7 +210,7 @@ def ball_query_multi(radii, nsamples, xyz: Array, new_xyz: Array,
 
         return ball_query_multi_pallas(
             tuple(float(r) for r in radii), tuple(int(s) for s in nsamples),
-            lax.stop_gradient(xyz), lax.stop_gradient(new_xyz))
+            lax.stop_gradient(xyz), lax.stop_gradient(new_xyz), prefix)
     return tuple(ball_query(r, s, xyz, new_xyz, use_pallas=False)
                  for r, s in zip(radii, nsamples))
 

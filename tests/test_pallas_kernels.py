@@ -49,6 +49,38 @@ class TestThreeNNKernel:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestPrefixScan:
+    def test_prefix_matches_full(self, rng):
+        """The prefix early-exit is a pure perf hint: results must be
+        identical for any prefix, including straggler centers whose quota
+        needs points beyond the prefix."""
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_pallas
+
+        xyz = rng.randn(2, 400, 3).astype(np.float32)
+        centers = xyz[:, ::5][:, :64]
+        with pltpu.force_tpu_interpret_mode():
+            full = np.asarray(ball_query_pallas(0.4, 8, jnp.asarray(xyz),
+                                                jnp.asarray(centers)))
+            pre = np.asarray(ball_query_pallas(0.4, 8, jnp.asarray(xyz),
+                                               jnp.asarray(centers), 128))
+        np.testing.assert_array_equal(pre, full)
+
+    def test_prefix_multi_matches_full(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+
+        xyz = rng.randn(1, 300, 3).astype(np.float32)
+        centers = xyz[:, :40]
+        with pltpu.force_tpu_interpret_mode():
+            full = ball_query_multi_pallas((0.3, 0.8), (4, 8),
+                                           jnp.asarray(xyz),
+                                           jnp.asarray(centers))
+            pre = ball_query_multi_pallas((0.3, 0.8), (4, 8),
+                                          jnp.asarray(xyz),
+                                          jnp.asarray(centers), 128)
+        for f, p in zip(full, pre):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(f))
+
+
 class TestMultiRadiusKernel:
     def test_matches_singles(self, rng):
         from garment4d_tpu.ops.pallas.ball_query import (
