@@ -124,10 +124,13 @@ class CanonicalGarmentModel(nn.Module):
 
         pooled = jnp.max(summary, axis=1)  # temporal max-pool (B, 512)
         # PCA head per reference `mesh_encoder.py:79-87` (Conv1d stack on a
-        # length-1 axis == dense stack with batch-only BN)
-        h = ConvBNRelu(128, bn=True, bn_axis_name=self.bn_axis_name,
+        # length-1 axis == dense stack with batch-only BN). Unlike the
+        # pt_utils conv blocks, the reference uses RAW nn.Conv1d here, which
+        # keeps its bias even under the following BatchNorm - so the released
+        # checkpoints carry PCAEncoder.{0,3}.bias and the flax layers must too
+        h = ConvBNRelu(128, bn=True, bias=True, bn_axis_name=self.bn_axis_name,
                        name="pca_head0")(pooled, train=train)
-        h = ConvBNRelu(64, bn=True, bn_axis_name=self.bn_axis_name,
+        h = ConvBNRelu(64, bn=True, bias=True, bn_axis_name=self.bn_axis_name,
                        name="pca_head1")(h, train=train)
         coeff = ConvBNRelu(self.assets.pca_dim, bn=False, relu=False,
                            name="pca_head2")(h)

@@ -23,11 +23,19 @@ import jax.numpy as jnp
 
 
 def build_mesh_adjacency(faces, num_vertices: int) -> np.ndarray:
-    """Binary symmetric adjacency from (quad or tri) faces, as dense float32.
+    """Symmetric adjacency from (quad or tri) faces, as dense float32.
 
-    Mirrors the edge extraction of the reference (`mesh_encoder.py:288-304`):
-    each quad contributes 4 directed edges, each tri 3, then the matrix is
-    symmetrised to max(A, A^T) with binary weights.
+    Replicates the reference construction bit-for-bit
+    (`mesh_encoder.py:288-305`): the edge buffer has 4 slots per face and is
+    zero-initialised, so (a) duplicate directed edges SUM when the coo matrix
+    is built (entries can exceed 1 on non-manifold/inconsistently-wound
+    meshes), and (b) a triangle face leaves slot `i*4+2` untouched, inserting
+    a spurious (0, 0) entry. Both quirks shift the row normalisation of the
+    GCN propagation matrix on real templates, so they are reproduced here
+    rather than cleaned up; on the quad-only, consistently-wound CLOTH3D
+    templates the result is the clean binary matrix. Symmetrisation is
+    elementwise max(A, A^T) (the reference's add/multiply dance,
+    `mesh_encoder.py:305`, equals max for non-negative matrices).
     """
     adj = np.zeros((num_vertices, num_vertices), dtype=np.float32)
     for f in faces:
@@ -35,11 +43,12 @@ def build_mesh_adjacency(faces, num_vertices: int) -> np.ndarray:
         if len(f) == 4:
             pairs = [(f[0], f[1]), (f[1], f[2]), (f[2], f[3]), (f[3], f[0])]
         elif len(f) == 3:
-            pairs = [(f[0], f[1]), (f[1], f[2]), (f[2], f[0])]
+            # slot i*4+2 keeps its [0, 0] zero-initialisation in the reference
+            pairs = [(f[0], f[1]), (f[1], f[2]), (0, 0), (f[2], f[0])]
         else:
             raise NotImplementedError(f"face of degree {len(f)}")
         for a, b in pairs:
-            adj[a, b] = 1.0
+            adj[a, b] += 1.0  # coo_matrix sums duplicates
     return np.maximum(adj, adj.T)
 
 

@@ -160,6 +160,47 @@ class TestQueryAndGroup:
 
 
 class TestGraph:
+    def test_adjacency_matches_reference_coo_on_mixed_faces(self):
+        """Oracle reproducing the reference construction verbatim
+        (`mesh_encoder.py:288-306`): zero-initialised (2, F*4) edge buffer
+        (tri faces leave slot i*4+2 at [0,0]), duplicate-summing coo build,
+        add/multiply max-symmetrisation, then normalize(adj + I). Asserts
+        exact equality on a template mixing quads, tris, a duplicated
+        directed edge, and vertex 0 in a face."""
+        import scipy.sparse as sp
+
+        faces = [[0, 1, 2, 3], [1, 4, 5, 2], [2, 5, 6], [6, 5, 4],
+                 [3, 2, 6], [1, 4, 5, 2]]  # repeated quad: summed duplicates
+        V = 7
+        edges = np.zeros([2, len(faces) * 4], dtype=np.int32)
+        for i, f in enumerate(faces):
+            if len(f) == 4:
+                edges[:, i * 4 + 0] = [f[0], f[1]]
+                edges[:, i * 4 + 1] = [f[1], f[2]]
+                edges[:, i * 4 + 2] = [f[2], f[3]]
+                edges[:, i * 4 + 3] = [f[3], f[0]]
+            else:
+                edges[:, i * 4 + 0] = [f[0], f[1]]
+                edges[:, i * 4 + 1] = [f[1], f[2]]
+                edges[:, i * 4 + 3] = [f[2], f[0]]
+        ref = sp.coo_matrix((np.ones(edges.shape[1]), (edges[0], edges[1])),
+                            shape=(V, V), dtype=np.float32)
+        ref = (ref + ref.T.multiply(ref.T > ref) - ref.multiply(ref.T > ref))
+        ref_gcn = ref + sp.eye(V)
+        rowsum = np.asarray(ref_gcn.sum(1)).ravel()
+        r_inv = np.power(rowsum, -1.0)
+        r_inv[np.isinf(r_inv)] = 0.0
+        ref_gcn = sp.diags(r_inv).dot(ref_gcn).toarray().astype(np.float32)
+
+        adj = ops.build_mesh_adjacency(faces, V)
+        np.testing.assert_array_equal(adj, ref.toarray().astype(np.float32))
+        np.testing.assert_allclose(ops.gcn_adjacency(adj), ref_gcn,
+                                   rtol=0, atol=1e-7)
+        # the tri-face quirk is present: spurious (0,0) self-edges
+        assert adj[0, 0] == 3.0  # three tri faces
+        # and the duplicated quad produced a summed weight
+        assert adj[1, 4] == 2.0
+
     def test_adjacency_quads(self):
         faces = [[0, 1, 2, 3], [1, 4, 5, 2]]
         adj = ops.build_mesh_adjacency(faces, 6)
