@@ -132,19 +132,37 @@ def acceleration_error(pred_v: Array, gt_v: Array, fps: float = 30.0) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _bmean(x: Array, batch: int, valid: Array) -> Array:
+    """Masked batch mean: per-sample means of x (leading dim `batch` or a
+    multiple of it, i.e. B*T), weighted by the (B,) validity mask. Used to
+    exclude eval-tail padding duplicates from metric means (the reference's
+    padding sampler, `utils/train_utils.py:12-31`, never masks them out)."""
+    per = x.reshape(batch, -1).mean(axis=1)  # (B,) per-sample means
+    w = valid.astype(per.dtype)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
                          body_faces: np.ndarray, weights: LossWeights,
-                         only_seg: bool = False) -> Dict[str, Array]:
+                         only_seg: bool = False,
+                         valid: Array = None) -> Dict[str, Array]:
     """All canonical-stage losses (reference `temporal_loss_PCA`,
     `temporal_loss.py:60-119`). `output` is a CanonicalOutput; `batch` uses the
-    data-pipeline keys (SURVEY.md 2.5)."""
+    data-pipeline keys (SURVEY.md 2.5). `valid` is an optional (B,) mask
+    excluding eval-tail padding duplicates; None keeps the reference's
+    plain means bit-for-bit."""
     B, T = batch["pose"].shape[:2]
     losses: Dict[str, Array] = {}
     total = 0.0
 
+    def mean(x):
+        return jnp.mean(x) if valid is None else _bmean(x, B, valid)
+
     logits = output.backbone.sem_logits.reshape(B * T, -1, logits_dim(output))
     labels = batch["pcd_label"].reshape(B * T, -1).astype(jnp.int32)
-    l_seg = sem_seg_loss(logits, labels)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    l_seg = mean(-picked.reshape(B, -1))
     losses["sem_seg_loss"] = l_seg
     total = total + l_seg * weights.sem_seg
 
@@ -152,24 +170,33 @@ def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
         losses["total_loss"] = total
         return losses
 
-    l_pca = shape_l2_loss(output.pca_coeff, batch["pca_coeff"])
+    l_pca = mean((output.pca_coeff - batch["pca_coeff"]) ** 2)
     losses["garment_pca_coeff_l2"] = l_pca
     total = total + l_pca * weights.garment_pca_coeff_l2
 
     gt_garment = batch["garment_template_vertices"]  # (B, V, 3)
     pred = output.tpose_garment
-    losses["garment_l2_loss"] = vertex_l2_loss(pred, gt_garment)
-    losses["garment_msre"] = vertex_msre(pred, gt_garment)
+    sq = jnp.sum((pred - gt_garment) ** 2, axis=-1)
+    losses["garment_l2_loss"] = mean(sq)
+    losses["garment_msre"] = mean(jnp.sqrt(sq))
     total = total + losses["garment_l2_loss"] * weights.garment_l2
 
     tpose_body = batch["tpose_smpl_vertices"]  # (B, 6890, 3)
     body_vn = ops.vertex_normals(tpose_body, body_faces)
     garment_rooted = pred + batch["tpose_smpl_root_joints"][:, None, :]
-    l_pen = interpenetration_loss(garment_rooted, tpose_body, body_vn, reduce="mean")
+    nn = ops.knn_points(garment_rooted, tpose_body, K=1)
+    b = ops.group_points(tpose_body, nn.idx)[:, :, 0, :]
+    n = ops.group_points(body_vn, nn.idx)[:, :, 0, :]
+    pen = jax.nn.relu(-jnp.sum(n * (garment_rooted - b), axis=-1))  # (B, Vg)
+    l_pen = mean(pen)
     losses["interpenetration_loss"] = l_pen
     total = total + l_pen * weights.interpenetration
 
-    l_lap = cot_laplacian_loss(pred, gt_garment, faces_tri)
+    lx_pred = ops.cot_laplacian_apply(pred, pred, faces_tri)
+    lx_gt = ops.cot_laplacian_apply(gt_garment, gt_garment, faces_tri)
+    n_pred = jnp.linalg.norm(lx_pred, axis=-1)
+    n_gt = jax.lax.stop_gradient(jnp.linalg.norm(lx_gt, axis=-1))
+    l_lap = mean(jnp.abs(n_pred - n_gt))
     losses["garment_lap_loss"] = l_lap
     total = total + l_lap * weights.garment_lap
 
@@ -178,31 +205,38 @@ def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
 
 
 def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
-                     body_faces: np.ndarray, weights: LossWeights) -> Dict[str, Array]:
+                     body_faces: np.ndarray, weights: LossWeights,
+                     valid: Array = None) -> Dict[str, Array]:
     """All posed-stage losses (reference `temporal_loss_PCA_LBS`,
-    `temporal_loss.py:147-201`). `output` is a PosedOutput."""
+    `temporal_loss.py:147-201`). `output` is a PosedOutput. `valid` is an
+    optional (B,) mask excluding eval-tail padding duplicates."""
     B, T = batch["pose"].shape[:2]
     losses: Dict[str, Array] = {}
     total = 0.0
+
+    def mean(x):
+        return jnp.mean(x) if valid is None else _bmean(x, B, valid)
 
     root = batch["smpl_root_joints"].reshape(B, T, 1, 3)
     gt_garment = batch["garment"] + root  # (B, T, Vg, 3)
 
     l2_acc = 0.0
     for i, pred in enumerate(output.iter_garment_v):
-        l2_acc = l2_acc + vertex_l2_loss(pred, gt_garment)
+        l2_acc = l2_acc + mean(jnp.sum((pred - gt_garment) ** 2, axis=-1))
         if i == len(output.iter_garment_v) - 1:
             per_frame = jnp.mean(
                 jnp.sqrt(jnp.sum((pred - gt_garment) ** 2, axis=-1)), axis=-1)
-            losses["lbs_garment_msre"] = jnp.mean(per_frame)
+            losses["lbs_garment_msre"] = mean(per_frame)
             losses["lbs_garment_msre_list"] = per_frame  # (B, T)
-    losses["only_lbs_garment_msre"] = vertex_msre(output.lbs.posed_garment, gt_garment)
+    losses["only_lbs_garment_msre"] = mean(jnp.sqrt(jnp.sum(
+        (output.lbs.posed_garment - gt_garment) ** 2, axis=-1)))
     losses["lbs_garment_l2_loss"] = l2_acc
     total = total + l2_acc * weights.lbs_garment_l2
 
     lap_acc = 0.0
     for pred in output.iter_garment_v:
-        lap_acc = lap_acc + uniform_laplacian_regularizer(pred, lap_adj)
+        lap_acc = lap_acc + mean(jnp.linalg.norm(
+            ops.graph_matmul(lap_adj, pred), axis=-1))
     losses["lbs_garment_lap_loss"] = lap_acc
     total = total + lap_acc * weights.lbs_garment_lap
 
@@ -210,22 +244,39 @@ def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
     body_vn = ops.vertex_normals(body_v, body_faces)
     pen_acc = 0.0
     for pred in output.iter_garment_v:
-        pen_acc = pen_acc + interpenetration_loss(
-            pred.reshape(B * T, -1, 3), body_v, body_vn, reduce="mean")
+        nn = ops.knn_points(pred.reshape(B * T, -1, 3), body_v, K=1)
+        b = ops.group_points(body_v, nn.idx)[:, :, 0, :]
+        n = ops.group_points(body_vn, nn.idx)[:, :, 0, :]
+        pen = jax.nn.relu(
+            -jnp.sum(n * (pred.reshape(B * T, -1, 3) - b), axis=-1))
+        pen_acc = pen_acc + mean(pen.reshape(B, -1))
     losses["lbs_interpenetration_loss"] = pen_acc
     total = total + pen_acc * weights.lbs_interpenetration
 
     last = output.iter_garment_v[-1]
-    l_temp = temporal_constraint_loss(last)
+    diff = last[:, :-1] - last[:, 1:]
+    l_temp = mean(jnp.sqrt(jnp.sum(diff ** 2, axis=-1)))
     losses["temporal_constraint_loss"] = l_temp
     total = total + l_temp * weights.temporal_constraint
 
-    losses["acceleration_error"] = acceleration_error(last, gt_garment)
-    losses["only_lbs_acceleration_error"] = acceleration_error(
-        output.lbs.posed_garment, gt_garment)
+    losses["acceleration_error"] = _accel_err(last, gt_garment, mean)
+    losses["only_lbs_acceleration_error"] = _accel_err(
+        output.lbs.posed_garment, gt_garment, mean)
 
     losses["total_loss"] = total
     return losses
+
+
+def _accel_err(pred_v: Array, gt_v: Array, mean, fps: float = 30.0) -> Array:
+    if pred_v.shape[1] < 3:
+        return jnp.zeros(())
+    dt = 1.0 / fps
+
+    def accel(v):
+        vel = (v[:, 1:] - v[:, :-1]) / dt
+        return (vel[:, 1:] - vel[:, :-1]) / dt
+
+    return mean(jnp.sqrt(jnp.sum((accel(pred_v) - accel(gt_v)) ** 2, axis=-1)))
 
 
 def logits_dim(output) -> int:

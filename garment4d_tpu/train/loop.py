@@ -80,17 +80,19 @@ class MetricWriter:
 class MetricAccumulator:
     def __init__(self):
         self.sums: Dict[str, float] = {}
-        self.count = 0
+        self.count = 0.0
 
-    def add(self, loss_dict: Dict[str, jax.Array]):
+    def add(self, loss_dict: Dict[str, jax.Array], weight: float = 1.0):
+        """`weight` is the batch's valid-sample count when eval-tail padding
+        masks are in play, so duplicated samples don't skew dataset means."""
         host = {k: np.asarray(v) for k, v in loss_dict.items()
                 if np.asarray(v).ndim == 0}
         for k, v in host.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
-        self.count += 1
+            self.sums[k] = self.sums.get(k, 0.0) + float(v) * weight
+        self.count += weight
 
     def means(self) -> Dict[str, float]:
-        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+        return {k: v / max(self.count, 1e-12) for k, v in self.sums.items()}
 
 
 def train_one_epoch(state: TrainState, batches: Iterable, train_step,
@@ -130,7 +132,17 @@ def eval_one_epoch(state: TrainState, batches: Iterable, eval_step,
                    logger=None) -> Dict[str, float]:
     acc = MetricAccumulator()
     for batch in batches:
-        acc.add(eval_step(state, batch))
+        # weight each batch by its valid-sample count so padded tail
+        # duplicates don't skew the dataset means (full batches weigh their
+        # batch size; masked tail batches weigh the number of real samples)
+        mask = batch.get("valid_mask") if isinstance(batch, dict) else None
+        if mask is not None:
+            weight = float(np.sum(np.asarray(mask)))
+        elif isinstance(batch, dict) and "pcd" in batch:
+            weight = float(batch["pcd"].shape[0])
+        else:
+            weight = 1.0
+        acc.add(eval_step(state, batch), weight=weight)
     means = acc.means()
     if writer is not None:
         key = ("lbs_garment_msre" if "lbs_garment_msre" in means

@@ -75,23 +75,46 @@ def create_train_state(params, batch_stats, lr: float,
 
 @dataclasses.dataclass
 class PlateauScheduler:
-    """Host-side ReduceLROnPlateau (torch semantics: patience epochs without
-    `min` improvement -> lr *= factor). Reference `train_temporal.py:130-131`."""
+    """Host-side ReduceLROnPlateau with full torch semantics.
+
+    The reference builds `ReduceLROnPlateau(optimizer, 'min', patience=8)`
+    (`train_temporal.py:131`), which carries torch's defaults: factor 0.1,
+    relative improvement threshold 1e-4 (`a < best * (1 - threshold)`),
+    cooldown 0, min_lr 0, and the eps=1e-8 update guard. All are replicated;
+    `threshold_mode`/`cooldown` matter only off the defaults but keep the
+    scheduler drop-in comparable against recorded torch LR traces.
+    """
 
     patience: int = 8
     factor: float = 0.1
-    min_lr_scale: float = 1e-8
+    threshold: float = 1e-4
+    threshold_mode: str = "rel"  # 'rel' | 'abs'
+    cooldown: int = 0
+    min_lr_scale: float = 0.0
+    eps: float = 1e-8
     best: float = float("inf")
     num_bad: int = 0
+    cooldown_counter: int = 0
     scale: float = 1.0
 
+    def _is_better(self, a: float) -> bool:
+        if self.threshold_mode == "rel":
+            return a < self.best * (1.0 - self.threshold)
+        return a < self.best - self.threshold
+
     def update(self, metric: float) -> float:
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_lr_scale)
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            new_scale = max(self.scale * self.factor, self.min_lr_scale)
+            if self.scale - new_scale > self.eps:  # torch's update guard
+                self.scale = new_scale
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
         return self.scale

@@ -77,8 +77,11 @@ def make_canonical_steps(model, assets, body_faces: np.ndarray,
             {"params": state.params, "batch_stats": state.batch_stats,
              "constants": _model_constants(state)},
             batch["pcd"], train=False)
+        # optional (B,) mask excluding eval-tail padding duplicates from the
+        # metric means (the reference's padding sampler never masks them)
         return L.canonical_stage_loss(
-            out, batch, assets.faces_tri, body_faces, weights, only_seg=only_seg)
+            out, batch, assets.faces_tri, body_faces, weights,
+            only_seg=only_seg, valid=batch.get("valid_mask"))
 
     return train_step, eval_step
 
@@ -117,7 +120,8 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
              "constants": _model_constants(state)},
             batch["pcd"], body_inputs_from_batch(batch), train=False)
         lap_adj = state.constants[LAP_ADJ_KEY]
-        return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
+        return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights,
+                                  valid=batch.get("valid_mask"))
 
     return train_step, eval_step
 

@@ -43,6 +43,33 @@ class TestPlateau:
         sched.update(0.95)  # bad 1
         assert sched.update(0.8) == 1.0  # improved before patience exceeded
 
+    @pytest.mark.parametrize("seed,patience,cooldown,threshold", [
+        (0, 8, 0, 1e-4),   # the reference's exact configuration
+        (1, 2, 0, 1e-4),
+        (2, 3, 2, 1e-4),
+        (3, 1, 1, 1e-2),
+    ])
+    def test_matches_torch_trace(self, seed, patience, cooldown, threshold):
+        """LR trace parity against torch's ReduceLROnPlateau on random metric
+        sequences (reference `train_temporal.py:131` uses
+        `ReduceLROnPlateau(optimizer, 'min', patience=8)`)."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(seed)
+        # noisy, slowly-plateauing metric sequence
+        metrics = 1.0 / (1.0 + 0.1 * np.arange(80)) + 0.02 * rng.rand(80)
+
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, "min", patience=patience, cooldown=cooldown,
+            threshold=threshold)
+        ours = PlateauScheduler(patience=patience, cooldown=cooldown,
+                                threshold=threshold)
+        for m in metrics:
+            tsched.step(float(m))
+            scale = ours.update(float(m))
+            assert scale == pytest.approx(opt.param_groups[0]["lr"]), (
+                f"diverged at metric {m}")
+
 
 class TestCanonicalTrainStep:
     def test_loss_decreases(self, setup):
@@ -69,6 +96,31 @@ class TestCanonicalTrainStep:
         _, eval_step = make_canonical_steps(model, assets, body_model.faces)
         losses = eval_step(state, batch)
         assert np.isfinite(float(losses["total_loss"]))
+
+    def test_eval_mask_excludes_padding_duplicates(self, setup):
+        """Metrics of a padded batch (tail duplicates masked out) must equal
+        metrics of the unpadded batch - the exactness the reference's padding
+        sampler (`utils/train_utils.py:12-31`) never had."""
+        from garment4d_tpu.data.synthetic import make_batch
+
+        assets, body_model, _ = setup
+        b3 = make_batch(assets, body_model, batch_size=3, T=2, npoints=1536,
+                        seed=11)
+        # B=4 batch whose last sample duplicates sample 2 (eval-tail padding)
+        b4 = {k: np.concatenate([np.asarray(v), np.asarray(v)[2:3]], axis=0)
+              for k, v in b3.items()}
+        b4["valid_mask"] = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+
+        model = CanonicalGarmentModel(assets=assets)
+        variables = model.init(jax.random.PRNGKey(0), b3["pcd"], train=False)
+        state = make_state_for(model, variables, assets, lr=1e-3)
+        _, eval_step = make_canonical_steps(model, assets, body_model.faces)
+        plain = eval_step(state, b3)
+        masked = eval_step(state, b4)
+        for k in ("total_loss", "garment_msre", "sem_seg_loss",
+                  "interpenetration_loss", "garment_lap_loss"):
+            np.testing.assert_allclose(float(masked[k]), float(plain[k]),
+                                       rtol=2e-5, err_msg=k)
 
 
 class TestPosedTrainStep:

@@ -133,15 +133,20 @@ def main(argv=None):
                 for i in range(0, stop, bs):
                     idxs = list(order[i:i + bs])
                     # pad the eval tail with repeats (reference eval sampler
-                    # pads, `utils/train_utils.py:12-31`)
+                    # pads, `utils/train_utils.py:12-31`); the mask excludes
+                    # the duplicates from eval metric means
+                    n_real = len(idxs)
                     while len(idxs) < bs:
                         idxs.append(idxs[-1])
+                    mask = (np.arange(bs) < n_real).astype(np.float32)
                     # multi-host: each process reads only its slice of the
                     # global batch; shard_batch assembles the global arrays
                     idxs = local_batch_indices(idxs)
                     raw = ds.collate([ds.raw_item(j) for j in idxs])
-                    yield shard_batch(
-                        finalize_batch(raw, body_models, npoints), mesh)
+                    batch = finalize_batch(raw, body_models, npoints)
+                    if not shuffle and n_real < bs:
+                        batch["valid_mask"] = local_batch_indices(mask)
+                    yield shard_batch(batch, mesh)
             return gen
         train_batches = make_gen(ds_train, True, drop_last=True)
         eval_batches = make_gen(ds_eval, False, drop_last=False)
