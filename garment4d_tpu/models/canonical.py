@@ -39,9 +39,12 @@ def select_garment_points(xyz: Array, features: Array, labels: Array,
     mask = labels == garment_label  # (B, N)
     cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
     targets = jnp.arange(1, n + 1, dtype=jnp.int32)
-    # "index of the (s+1)-th garment point" via searchsorted on the monotone
-    # cumulative count (gathers, not serialised scatters)
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
+    # "index of the (s+1)-th garment point" = #{cum < s+1} on the monotone
+    # cumulative count. A dense compare+reduce fuses into one VPU pass;
+    # jnp.searchsorted's binary-search scan lowered to a sequential
+    # while-loop costing ~35 ms/forward at production shapes.
+    idx = jnp.sum((cum[:, None, :] < targets[None, :, None]).astype(jnp.int32),
+                  axis=-1)
     valid = targets[None, :] <= cum[:, -1:]  # (B, n)
     idx = jnp.where(valid, idx, 0).astype(jnp.int32)
     sel_xyz = jnp.where(valid[..., None], gather_points_local(xyz, idx), 0.0)

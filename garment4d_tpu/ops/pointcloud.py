@@ -105,13 +105,54 @@ def _fps_xla(xyz: Array, npoint: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _gather_rows(points: Array, idx: Array) -> Array:
+    """points (B, N, C), idx (B, R) -> (B, R, C) with a Pallas forward on
+    TPU (XLA's row gather is ~3x slower at these table sizes, see
+    `ops/pallas/gather.py`) and XLA's deterministic scatter-add backward
+    (replacing the reference's nondeterministic atomicAdd,
+    `src/group_points_gpu.cu:24`)."""
+    return _gather_rows_fwd_impl(points, idx)
+
+
+def _gather_rows_fwd_impl(points: Array, idx: Array) -> Array:
+    B, N, C = points.shape
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.gather import (
+            gather_rows_pallas,
+            gather_supported,
+        )
+
+        if gather_supported(N, C) and points.dtype == jnp.float32:
+            return gather_rows_pallas(points, idx)
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def _gather_rows_fwd(points, idx):
+    return _gather_rows_fwd_impl(points, idx), (idx, points.shape)
+
+
+def _gather_rows_bwd(res, g):
+    idx, (B, N, C) = res
+    zeros = jnp.zeros((B, N, C), g.dtype)
+    # deterministic scatter-add (the transpose XLA itself derives for
+    # take_along_axis)
+    grad = zeros.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], idx.astype(jnp.int32)
+    ].add(g)
+    return grad, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def gather_points(points: Array, idx: Array) -> Array:
     """points: (B, N, C), idx: (B, M) int -> (B, M, C).
 
     Channel-last equivalent of the reference `gather_points_wrapper`
     (`src/sampling_gpu.cu:8-40`); gradient is XLA's deterministic scatter-add.
     """
-    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+    return _gather_rows(points, idx.astype(jnp.int32))
 
 
 def group_points(points: Array, idx: Array) -> Array:
@@ -122,7 +163,7 @@ def group_points(points: Array, idx: Array) -> Array:
     """
     B, N, C = points.shape
     _, M, S = idx.shape
-    flat = jnp.take_along_axis(points, idx.reshape(B, M * S, 1).astype(jnp.int32), axis=1)
+    flat = _gather_rows(points, idx.reshape(B, M * S).astype(jnp.int32))
     return flat.reshape(B, M, S, C)
 
 

@@ -5,6 +5,7 @@ real hardware (see README perf notes); these tests pin the kernel semantics.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 from jax.experimental.pallas import tpu as pltpu
@@ -99,3 +100,47 @@ class TestMultiRadiusKernel:
                 for r, s in ((0.2, 4), (0.5, 8))]
         for m, s in zip(multi, singles):
             np.testing.assert_array_equal(np.asarray(m), s)
+
+
+class TestGatherKernel:
+    def test_matches_xla_gather(self, rng):
+        from garment4d_tpu.ops.pallas.gather import gather_rows_pallas
+
+        table = rng.randn(3, 700, 6).astype(np.float32)
+        idx = rng.randint(0, 700, (3, 1000)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(gather_rows_pallas(jnp.asarray(table),
+                                                jnp.asarray(idx)))
+        want = np.take_along_axis(table, idx[..., None], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_wide_channels(self, rng):
+        from garment4d_tpu.ops.pallas.gather import gather_rows_pallas
+
+        table = rng.randn(2, 300, 35).astype(np.float32)
+        idx = rng.randint(0, 300, (2, 257)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(gather_rows_pallas(jnp.asarray(table),
+                                                jnp.asarray(idx)))
+        want = np.take_along_axis(table, idx[..., None], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_group_points_grad_unchanged(self, rng):
+        """The custom_vjp backward must equal take_along_axis autodiff
+        (deterministic scatter-add)."""
+        from garment4d_tpu import ops
+
+        pts = jnp.asarray(rng.randn(2, 50, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 50, (2, 8, 3)).astype(np.int32))
+        cot = jnp.asarray(rng.randn(2, 8, 3, 4).astype(np.float32))
+
+        def via_ops(p):
+            return jnp.vdot(ops.group_points(p, idx), cot)
+
+        def via_tala(p):
+            flat = jnp.take_along_axis(p, idx.reshape(2, 24, 1), axis=1)
+            return jnp.vdot(flat.reshape(2, 8, 3, 4), cot)
+
+        g1 = jax.grad(via_ops)(pts)
+        g2 = jax.grad(via_tala)(pts)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
