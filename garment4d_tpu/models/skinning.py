@@ -53,6 +53,55 @@ def _interp_weights(dists: Array) -> Array:
     return jnp.where(jnp.isinf(w), 0.0, w)
 
 
+def _kth_smallest_bits(bits: Array, k: int) -> Array:
+    """Per-row k-th smallest of non-negative-f32 bit patterns (int32), by
+    31-step binary search on the value. bits: (..., N) -> (..., 1).
+
+    Non-negative IEEE-754 floats compare like their bit patterns, so the
+    k-th smallest squared distance is found with compare+reduce passes
+    instead of a full sort (`lax.top_k` lowers to an O(N log N) sort costing
+    ~80 ms/forward at K=256 over 6890 points)."""
+    lo = jnp.zeros((*bits.shape[:-1], 1), jnp.int32)
+    hi = jnp.full((*bits.shape[:-1], 1), jnp.int32(0x7F7FFFFF))  # f32 max
+
+    def step(carry, _):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((bits <= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        found = cnt >= k  # k-th smallest is <= mid
+        return (jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)), None
+
+    (lo, _), _ = jax.lax.scan(step, (lo, hi), None, length=31)
+    return lo
+
+
+def _masked_weight_transfer(d2: Array, w0: Array, k: int):
+    """Order-invariant K-NN skinning-weight transfer as one masked matmul.
+
+    d2: (B, Vg, N) squared garment->body distances, w0: (B, N, J) body
+    skinning weights. Selects each garment vertex's exact k nearest body
+    vertices (ties at the k-th boundary broken towards lower index, matching
+    chamferdist), forms the reference's 1/d^2 interpolation weights
+    (`mesh_encoder.py:341-345`), and contracts them against w0 on the MXU:
+    nn_W[b,v,:] = sum_n iw[b,v,n] * w0[b,n,:]. The weighted sum is invariant
+    to neighbour order, so no sort and no (Vg, K, J) gather are needed -
+    replaces chamferdist `knn_points` + `grouping` (`mesh_encoder.py:321-347`).
+    """
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(d2, 0.0), jnp.int32)
+    t = _kth_smallest_bits(bits, k)
+    below = bits < t
+    tie = bits == t
+    extra = k - jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True)
+    cum_tie = jnp.cumsum(tie.astype(jnp.int32), axis=-1)
+    sel = jnp.logical_or(below, jnp.logical_and(tie, cum_tie <= extra))
+
+    w = jnp.where(sel, 1.0 / jnp.maximum(d2, 0.0), 0.0)
+    w = jnp.where(jnp.isinf(w), 0.0, w)  # reference inf handling
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(jnp.isinf(w), 0.0, w)
+    return jnp.einsum("bvn,bnj->bvj", w, w0, **_MM)
+
+
 def lbs_garment_interpolation(
     pred_template_garment_v: Array,   # (B, Vg, 3)
     tpose_vertices: Array,            # (B, 6890, 3)
@@ -74,13 +123,12 @@ def lbs_garment_interpolation(
 
     root_garment = pred_template_garment_v + tpose_root_joints[:, None, :]
     K64 = min(64, K)
-    nnk = ops.knn_points(root_garment, tpose_vertices, K=K)
-    # knn results are distance-sorted, so the K64- and 1-NN queries of the
-    # reference (`mesh_encoder.py:321-324`) are prefixes of the K-NN result -
-    # one sort instead of three
-    nn64 = (nnk if K64 == K
-            else ops.KnnResult(nnk.dists[..., :K64], nnk.idx[..., :K64]))
-    nn1 = ops.KnnResult(nnk.dists[..., :1], nnk.idx[..., :1])
+    # one (B, Vg, 6890) distance matrix serves the K-, K64- and 1-NN queries
+    # of the reference (`mesh_encoder.py:321-324`); the K/K64 results are
+    # consumed only through order-invariant weighted sums, so selection is a
+    # threshold mask + MXU matmul (no sort), see `_masked_weight_transfer`
+    d2 = ops.pairwise_sqdist(root_garment, tpose_vertices)
+    nn1_idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
 
     # ---- un-pose: invert the fixed template pose -------------------------
     inv_pose_mat = batch_rodrigues(_inverse_template_pose(B))
@@ -88,9 +136,7 @@ def lbs_garment_interpolation(
     _, inv_A = batch_rigid_transform(inv_pose_mat, inv_J, parents)
 
     w0 = T_lbs_weights[:, 0]  # (B, 6890, J)
-    inv_nn_W = ops.group_points(w0, nn64.idx)  # (B, Vg, K64, J)
-    iw64 = _interp_weights(nn64.dists)[..., None]  # (B, Vg, K64, 1)
-    inv_nn_W = jnp.sum(inv_nn_W * iw64, axis=-2)  # (B, Vg, J)
+    inv_nn_W = _masked_weight_transfer(d2, w0, K64)  # (B, Vg, J)
     inv_T = jnp.einsum("bvj,bjpq->bvpq", inv_nn_W, inv_A, **_MM)
     unposed = (
         jnp.einsum("bvpq,bvq->bvp", inv_T[:, :, :3, :3], root_garment, **_MM)
@@ -102,16 +148,14 @@ def lbs_garment_interpolation(
     J_pos = vertices2joints_b(T_J_regressor.reshape(BT, J, -1), zero_v)
     _, A = batch_rigid_transform(pose_mat, J_pos, parents)
 
-    # The K-NN indices and the skinning weights are frame-independent (the
+    # The K-NN selection and the skinning weights are frame-independent (the
     # reference always feeds per-frame copies of the same gender's
-    # lbs_weights, `dataloader.py:204-212`), so the heavy (Vg, K, J) gather
-    # and the diffusion run once per *sequence*; per-frame work is just one
-    # small MXU matmul against each frame's joint transforms. This is
+    # lbs_weights, `dataloader.py:204-212`), so the weight transfer and the
+    # diffusion run once per *sequence*; per-frame work is just one small
+    # MXU matmul against each frame's joint transforms. This is
     # mathematically identical to the reference's per-frame gathers
-    # (`mesh_encoder.py:380-393`) at 1/T the gather traffic.
-    iw = _interp_weights(nnk.dists)[..., None]  # (B, Vg, K, 1)
-    nn_W = ops.group_points(w0, nnk.idx)  # (B, Vg, K, J)
-    nn_W = jnp.sum(nn_W * iw, axis=-2)  # (B, Vg, J)
+    # (`mesh_encoder.py:380-393`) at 1/T the traffic.
+    nn_W = _masked_weight_transfer(d2, w0, K)  # (B, Vg, J)
 
     if K > 1:
         # 100-step weight diffusion == one precomputed dense operator
@@ -126,7 +170,7 @@ def lbs_garment_interpolation(
 
     return LbsResult(
         posed_garment=posed,
-        nn_idx=nn1.idx,
+        nn_idx=nn1_idx,
         unposed_garment=jnp.broadcast_to(unposed[:, None], (B, T, Vg, 3)),
     )
 
