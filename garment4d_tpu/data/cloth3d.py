@@ -43,22 +43,24 @@ from garment4d_tpu.smpl import SmplModel, batch_rodrigues
 def sample_choice(num_in: int, n: int, retain_order: bool = False) -> np.ndarray:
     """The index-choice of reference `random_sample_pcd` (`dataloader.py:26-48`):
     np.random.seed(0) per call, so the choice is a pure function of
-    (num_in, n, retain_order)."""
-    np.random.seed(0)
+    (num_in, n, retain_order). A local RandomState(0) draws bit-identically
+    to the reference's global `np.random.seed(0)` (same MT19937 seeding) and
+    keeps `raw_item` thread-safe under the parallel loader."""
+    r = np.random.RandomState(0)
     if n == num_in:
         choice = np.arange(num_in, dtype=np.int32)
     elif n < num_in:
-        choice = np.random.choice(np.arange(num_in, dtype=np.int32), n, replace=False)
+        choice = r.choice(np.arange(num_in, dtype=np.int32), n, replace=False)
         if retain_order:
             choice = np.sort(choice)
     else:
         replace = n - num_in > num_in
         choice = np.concatenate([
             np.arange(num_in, dtype=np.int32),
-            np.random.choice(np.arange(num_in, dtype=np.int32), n - num_in,
-                             replace=replace)])
+            r.choice(np.arange(num_in, dtype=np.int32), n - num_in,
+                     replace=replace)])
     if not retain_order:
-        np.random.shuffle(choice)
+        r.shuffle(choice)
     return choice
 
 
@@ -231,25 +233,27 @@ def _body_shuffle_choice(num_verts: int, garment_count: int,
     It uses the *global* numpy RNG state left behind by the preceding
     `random_sample_pcd(garment_cloud, npoints)` call (which reseeded with 0
     and then drew a choice + shuffle), so exact parity requires replaying
-    those draws for the same input sizes."""
-    np.random.seed(0)
+    those draws for the same input sizes. The replay runs on a local
+    RandomState(0) - bit-identical to the reference's global RNG (same
+    MT19937 seeding) and thread-safe under the parallel loader."""
+    r = np.random.RandomState(0)
     # replay random_sample_pcd(garment_count -> npoints)
     if npoints != garment_count:
         if npoints < garment_count:
-            choice = np.random.choice(
+            choice = r.choice(
                 np.arange(garment_count, dtype=np.int32), npoints, replace=False)
         else:
             replace = npoints - garment_count > garment_count
             choice = np.concatenate([
                 np.arange(garment_count, dtype=np.int32),
-                np.random.choice(np.arange(garment_count, dtype=np.int32),
-                                 npoints - garment_count, replace=replace)])
+                r.choice(np.arange(garment_count, dtype=np.int32),
+                         npoints - garment_count, replace=replace)])
     else:
         choice = np.arange(garment_count, dtype=np.int32)
-    np.random.shuffle(choice)
-    # now the state matches the reference's at the body-shuffle site
+    r.shuffle(choice)
+    # now the local state matches the reference's at the body-shuffle site
     out = np.arange(num_verts, dtype=np.int32)
-    np.random.shuffle(out)
+    r.shuffle(out)
     return out
 
 

@@ -114,22 +114,32 @@ def main(argv=None):
         ds_train = Cloth3dDataset(
             paths, cfg.DATASET.TRAIN_F_LIST, cfg.GARMENT.NAME, T=args.T,
             npoints=npoints, pca_dim=cfg.GARMENT.PCADIM, is_train=True,
-            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
+            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None,
+            body_verts=body_model.num_verts)
         ds_eval = Cloth3dDataset(
             paths, cfg.DATASET.EVAL_F_LIST, cfg.GARMENT.NAME, T=args.T,
             npoints=npoints, pca_dim=cfg.GARMENT.PCADIM, is_train=False,
-            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None)
+            exclude_list=cfg.DATASET.EXCLUDE_SEQ_LIST or None,
+            body_verts=body_model.num_verts)
         logger.info(f"train windows: {len(ds_train)}  eval windows: {len(ds_eval)}")
 
+        from garment4d_tpu.data.pipeline import ParallelItemLoader
         from garment4d_tpu.parallel.mesh import local_batch_indices
 
         def make_gen(ds, shuffle, drop_last):
+            # --num_workers threads overlap the per-item disk reads with
+            # device compute (reference DataLoader(num_workers=8),
+            # `train_temporal.py:85-107`); 0 = synchronous
+            loader = ParallelItemLoader(ds.raw_item,
+                                        num_workers=args.num_workers)
+
             def gen(epoch):
                 order = np.arange(len(ds))
                 if shuffle:
                     np.random.RandomState(epoch).shuffle(order)
                 bs = args.batch_size
                 stop = len(order) - bs + 1 if drop_last else len(order)
+                metas = []
                 for i in range(0, stop, bs):
                     idxs = list(order[i:i + bs])
                     # pad the eval tail with repeats (reference eval sampler
@@ -141,10 +151,14 @@ def main(argv=None):
                     mask = (np.arange(bs) < n_real).astype(np.float32)
                     # multi-host: each process reads only its slice of the
                     # global batch; shard_batch assembles the global arrays
-                    idxs = local_batch_indices(idxs)
-                    raw = ds.collate([ds.raw_item(j) for j in idxs])
+                    metas.append((local_batch_indices(idxs),
+                                  mask if (not shuffle and n_real < bs)
+                                  else None))
+                for (_, mask), items in zip(
+                        metas, loader.map_batches([m[0] for m in metas])):
+                    raw = ds.collate(items)
                     batch = finalize_batch(raw, body_models, npoints)
-                    if not shuffle and n_real < bs:
+                    if mask is not None:
                         batch["valid_mask"] = local_batch_indices(mask)
                     yield shard_batch(batch, mesh)
             return gen
