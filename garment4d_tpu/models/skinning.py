@@ -9,6 +9,7 @@ applied as one precomputed dense matmul (`ops.graph.smoothing_operator`).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -102,6 +103,48 @@ def _masked_weight_transfer(d2: Array, w0: Array, k: int):
     return jnp.einsum("bvn,bnj->bvj", w, w0, **_MM)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _knn_transfer(garment: Array, body: Array, w0: Array, k: int, k64: int):
+    """(nn_W_k, nn_W_k64, nn1_idx): fused Pallas kernel on TPU (the XLA
+    formulation re-reads the (B, Vg, N) distance matrix from HBM on every
+    binary-search step, ~73 ms/forward), XLA fallback elsewhere. Backward
+    recomputes through the XLA path (DCE'd when inputs are stop-gradient'd,
+    which the posed stage always does, `posed.py` / mesh_encoder.py:416)."""
+    return _knn_transfer_impl(garment, body, w0, k, k64)
+
+
+def _knn_transfer_impl(garment, body, w0, k, k64):
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.knn_transfer import (
+            knn_weight_transfer_pallas,
+        )
+
+        return knn_weight_transfer_pallas(garment, body, w0, k, k64)
+    return _knn_transfer_xla(garment, body, w0, k, k64)
+
+
+def _knn_transfer_xla(garment, body, w0, k, k64):
+    d2 = ops.pairwise_sqdist(garment, body)
+    nn1_idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
+    nn_w_k = _masked_weight_transfer(d2, w0, k)
+    nn_w_64 = nn_w_k if k64 == k else _masked_weight_transfer(d2, w0, k64)
+    return nn_w_k, nn_w_64, nn1_idx
+
+
+def _knn_transfer_fwd(garment, body, w0, k, k64):
+    return _knn_transfer_impl(garment, body, w0, k, k64), (garment, body, w0)
+
+
+def _knn_transfer_bwd(k, k64, res, cots):
+    garment, body, w0 = res
+    _, vjp = jax.vjp(lambda g, b, w: _knn_transfer_xla(g, b, w, k, k64),
+                     garment, body, w0)
+    return vjp(cots)
+
+
+_knn_transfer.defvjp(_knn_transfer_fwd, _knn_transfer_bwd)
+
+
 def lbs_garment_interpolation(
     pred_template_garment_v: Array,   # (B, Vg, 3)
     tpose_vertices: Array,            # (B, 6890, 3)
@@ -123,20 +166,19 @@ def lbs_garment_interpolation(
 
     root_garment = pred_template_garment_v + tpose_root_joints[:, None, :]
     K64 = min(64, K)
-    # one (B, Vg, 6890) distance matrix serves the K-, K64- and 1-NN queries
-    # of the reference (`mesh_encoder.py:321-324`); the K/K64 results are
-    # consumed only through order-invariant weighted sums, so selection is a
-    # threshold mask + MXU matmul (no sort), see `_masked_weight_transfer`
-    d2 = ops.pairwise_sqdist(root_garment, tpose_vertices)
-    nn1_idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
+    # the K-, K64- and 1-NN queries of the reference (`mesh_encoder.py:321-324`)
+    # are consumed only through order-invariant weighted sums, so the whole
+    # transfer is one fused selection + MXU contraction (no sort, no
+    # (Vg, K, J) gathers), see `_knn_transfer`
+    w0 = T_lbs_weights[:, 0]  # (B, 6890, J)
+    nn_W, inv_nn_W, nn1_idx = _knn_transfer(
+        root_garment, tpose_vertices, w0, K, K64)
 
     # ---- un-pose: invert the fixed template pose -------------------------
     inv_pose_mat = batch_rodrigues(_inverse_template_pose(B))
     inv_J = vertices2joints_b(T_J_regressor[:, 0], tpose_vertices)
     _, inv_A = batch_rigid_transform(inv_pose_mat, inv_J, parents)
 
-    w0 = T_lbs_weights[:, 0]  # (B, 6890, J)
-    inv_nn_W = _masked_weight_transfer(d2, w0, K64)  # (B, Vg, J)
     inv_T = jnp.einsum("bvj,bjpq->bvpq", inv_nn_W, inv_A, **_MM)
     unposed = (
         jnp.einsum("bvpq,bvq->bvp", inv_T[:, :, :3, :3], root_garment, **_MM)
@@ -155,8 +197,6 @@ def lbs_garment_interpolation(
     # MXU matmul against each frame's joint transforms. This is
     # mathematically identical to the reference's per-frame gathers
     # (`mesh_encoder.py:380-393`) at 1/T the traffic.
-    nn_W = _masked_weight_transfer(d2, w0, K)  # (B, Vg, J)
-
     if K > 1:
         # 100-step weight diffusion == one precomputed dense operator
         nn_W = jnp.einsum("vw,bwj->bvj", smooth_op, nn_W, **_MM)

@@ -144,3 +144,62 @@ class TestGatherKernel:
         g1 = jax.grad(via_ops)(pts)
         g2 = jax.grad(via_tala)(pts)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+class TestKnnTransferKernel:
+    def _xla(self, g, b, w0, k, k64):
+        from garment4d_tpu.models.skinning import _knn_transfer_xla
+        return _knn_transfer_xla(jnp.asarray(g), jnp.asarray(b),
+                                 jnp.asarray(w0), k, k64)
+
+    def test_matches_xla_formulation(self, rng):
+        from garment4d_tpu.ops.pallas.knn_transfer import (
+            knn_weight_transfer_pallas)
+
+        B, Vg, N, J = 2, 40, 300, 24
+        g = rng.randn(B, Vg, 3).astype(np.float32)
+        b = rng.randn(B, N, 3).astype(np.float32)
+        w0 = rng.rand(B, N, J).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = knn_weight_transfer_pallas(
+                jnp.asarray(g), jnp.asarray(b), jnp.asarray(w0), 16, 8)
+        want = self._xla(g, b, w0, 16, 8)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+
+    def test_boundary_ties_lower_index(self, rng):
+        """Duplicate body points create exact distance ties at the k-th
+        boundary; both paths must pick the lower-index copies (chamferdist
+        tie order)."""
+        from garment4d_tpu.ops.pallas.knn_transfer import (
+            knn_weight_transfer_pallas)
+
+        B, Vg, N, J = 1, 8, 64, 4
+        b = rng.randn(B, N // 4, 3).astype(np.float32)
+        b = np.tile(b, (1, 4, 1))  # every point 4x duplicated
+        g = b[:, :Vg] + 0.01
+        w0 = rng.rand(B, N, J).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = knn_weight_transfer_pallas(
+                jnp.asarray(g), jnp.asarray(b), jnp.asarray(w0), 6, 3)
+        want = self._xla(g, b, w0, 6, 3)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+
+    def test_k64_equals_k(self, rng):
+        from garment4d_tpu.ops.pallas.knn_transfer import (
+            knn_weight_transfer_pallas)
+
+        g = rng.randn(1, 10, 3).astype(np.float32)
+        b = rng.randn(1, 100, 3).astype(np.float32)
+        w0 = rng.rand(1, 100, 5).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = knn_weight_transfer_pallas(
+                jnp.asarray(g), jnp.asarray(b), jnp.asarray(w0), 12, 12)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(got[1]))
