@@ -79,14 +79,15 @@ def _uniform_laplacian_csr(adj: np.ndarray):
 def remove_interpenetration(garment_v: np.ndarray, body_v: np.ndarray,
                             body_faces: np.ndarray, adj: np.ndarray,
                             eps: float = 0.008, weight: float = 1.0,
-                            max_iters: int = 5) -> np.ndarray:
+                            max_iters: int = 5, return_rounds: bool = False):
     """Iterative push-out with Laplacian-regularised least squares.
 
     garment_v: (Vg, 3), body_v: (Vb, 3), body_faces: (F, 3), adj: (Vg, Vg)
     binary garment adjacency. Solves (A^T A) x = A^T b with
     A = [L ; w * I_rows(inside)], b = [L v ; w * targets] per round
     (reference `remove_interpenetration_fast`, `post_processing.py:185-228`),
-    up to `max_iters` rounds or until nothing is inside.
+    up to `max_iters` rounds or until nothing is inside. With
+    `return_rounds` also returns the number of solve rounds executed.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -97,6 +98,7 @@ def remove_interpenetration(garment_v: np.ndarray, body_v: np.ndarray,
     L = _uniform_laplacian_csr(np.asarray(adj, np.float64))
     Vg = v.shape[0]
 
+    rounds = 0
     for _ in range(max_iters):
         inside, nearest, normal = detect_penetration(
             jnp.asarray(v[None], jnp.float32), body, body_vn)
@@ -117,6 +119,9 @@ def remove_interpenetration(garment_v: np.ndarray, body_v: np.ndarray,
         Atb = A.T @ b
         v = np.column_stack([
             spla.spsolve(AtA, Atb[:, c]) for c in range(3)])
+        rounds += 1
+    if return_rounds:
+        return v.astype(np.float32), rounds
     return v.astype(np.float32)
 
 

@@ -113,3 +113,35 @@ class TestExport:
         p = str(tmp_path / "r.png")
         save_image(p, img)
         assert os.path.getsize(p) > 100
+
+
+class TestMultiRoundConvergence:
+    def test_needs_and_survives_multiple_rounds(self, assets, rng):
+        """A garment deep inside the body whose Laplacian regulariser drags
+        pushed vertices back in: the 5-round loop must actually iterate
+        (round 1 insufficient) and monotonically clear the penetrations
+        (reference loop `post_processing.py:314-317`)."""
+        from garment4d_tpu.data.postprocess import (
+            detect_penetration,
+            remove_interpenetration,
+        )
+        from garment4d_tpu.ops import build_mesh_adjacency
+
+        body_model = smpl.synthetic_smpl(num_verts=300)
+        body_v = np.asarray(body_model.v_template)
+        # start every garment vertex well inside the blob; a tiny eps and a
+        # weak data term force several rounds
+        garment = assets.template_v * 0.02
+        adj = build_mesh_adjacency(assets.faces, assets.num_verts)
+        out, rounds = remove_interpenetration(
+            garment, body_v, body_model.faces, adj, eps=0.002, weight=0.25,
+            max_iters=5, return_rounds=True)
+        assert rounds >= 2, f"expected a multi-round case, got {rounds}"
+        body = jnp.asarray(body_v[None])
+        body_vn = ops.vertex_normals(body, body_model.faces)
+        before, _, _ = detect_penetration(
+            jnp.asarray(garment[None], jnp.float32), body, body_vn)
+        after, _, _ = detect_penetration(
+            jnp.asarray(out[None], jnp.float32), body, body_vn)
+        assert np.asarray(after).sum() < np.asarray(before).sum()
+        assert np.isfinite(out).all()
