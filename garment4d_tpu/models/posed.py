@@ -203,17 +203,19 @@ class PosedGarmentModel(nn.Module):
         hidden_feats = []  # per-iteration 128-d feature after the 3rd GCN layer
         for it in range(self.iterations):
             pe_list = [cur_garment_v]
-            # one fused multi-radius query: the distance tile is shared
-            # across the 3 body radii. No prefix early-exit: in-radius hits
-            # are scattered across the SMPL index range (measured: with a
-            # 2048-point prefix 100% of center tiles still rescanned, and at
-            # r=0.1 many centers can never meet their quota at all), so a
-            # plain full scan is strictly cheaper.
-            body_idx = ops.ball_query_multi(
+            # one fused multi-radius query + grouping: the distance tile is
+            # shared across the 3 body radii, and the scan runs over the
+            # candidate-compacted body point set (points within the largest
+            # radius of any garment vertex, typically ~55-65% of the body)
+            # with an exact full-space fallback on overflow. No prefix
+            # early-exit: in-radius hits are scattered across the SMPL index
+            # range (measured: with a 2048-point prefix 100% of center tiles
+            # still rescanned), so a full scan over the compact set wins.
+            body_grouped = ops.query_group_pruned_multi(
                 r["body_radius"], r["body_nsample"],
-                body_v, cur_garment_v)
+                body_v, cur_garment_v, body_packed)
             for i in range(3):
-                grouped = ops.group_points(body_packed, body_idx[i])
+                grouped = body_grouped[i]
                 rel = grouped[..., :3] - cur_garment_v[:, :, None, :]
                 qg = jnp.concatenate([rel, grouped[..., 3:]], axis=-1)
                 pe = jnp.max(body_pe_mlps[i](qg), axis=-2)  # (BT, Vg, 32)

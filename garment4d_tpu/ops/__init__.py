@@ -6,6 +6,7 @@ from garment4d_tpu.ops.pointcloud import (
     KnnResult,
     ball_query,
     ball_query_multi,
+    query_group_pruned_multi,
     furthest_point_sample,
     gather_points,
     group_all,
@@ -36,6 +37,7 @@ __all__ = [
     "KnnResult",
     "ball_query",
     "ball_query_multi",
+    "query_group_pruned_multi",
     "furthest_point_sample",
     "gather_points",
     "group_all",

@@ -256,6 +256,82 @@ def ball_query_multi(radii, nsamples, xyz: Array, new_xyz: Array,
                  for r, s in zip(radii, nsamples))
 
 
+def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
+                             features: Array, cap_frac: float = 0.72,
+                             use_pallas: Optional[bool] = None):
+    """Fused multi-radius ball query + feature grouping with candidate
+    compaction: returns a tuple of grouped features (B, M, S_i, C), exactly
+    `group_points(features, ball_query_multi(...)[i])`.
+
+    The query kernel's scan cost is linear in the point count, but only the
+    points within max(radii) of ANY center can ever be selected (~50-65% of
+    the body on garment-on-body geometry). So: compute the coverage mask
+    (Pallas kernel), compact the point set order-preservingly (ascending
+    index sort of selected indices - first-S-hits semantics survive
+    compaction unchanged), run query + gathers in COMPACT space, and fix up
+    the reference's no-hit convention (slots stay at index 0, i.e. gather
+    FULL-space row 0, `src/ball_query_gpu.cu:35-42`) with a per-center
+    where. If any frame's candidate count exceeds the static cap, a
+    lax.cond falls back to the full-space path - results are identical
+    either way, compaction is purely a performance path.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    S_total = tuple(int(s) for s in nsamples)
+    cap = ((max(int(N * cap_frac), 256) + 127) // 128) * 128
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas or cap >= N or N < 1024:
+        idxs = ball_query_multi(radii, nsamples, xyz, new_xyz,
+                                use_pallas=use_pallas)
+        return tuple(group_points(features, i) for i in idxs)
+
+    from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+    from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
+
+    xyz_s = lax.stop_gradient(xyz)
+    cent_s = lax.stop_gradient(new_xyz)
+    r_max = float(max(radii))
+    cover = covered_mask_pallas(xyz_s, cent_s, r_max)  # (B, N) int32
+    overflow = jnp.any(jnp.sum(cover, axis=1) > cap)
+
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
+    compact_idx = lax.sort(keys, dimension=1)[:, :cap]  # ascending = index order
+    valid = compact_idx < N
+    safe_idx = jnp.where(valid, compact_idx, 0)
+    cxyz = _gather_rows(xyz, safe_idx)
+    # padding rows sit at +inf-ish so they can never fall inside a ball
+    cxyz = jnp.where(valid[..., None], cxyz, jnp.float32(1e9))
+    cfeat = _gather_rows(features, safe_idx)
+
+    def compact_branch(xyz_full, centers, feats_full, cxyz, cfeat):
+        idxs = ball_query_multi_pallas(
+            tuple(float(r) for r in radii), S_total,
+            lax.stop_gradient(cxyz), centers)
+        row0 = feats_full[:, 0:1, None, :]  # (B, 1, 1, C) full-space row 0
+        outs = []
+        for r, s, idx in zip(radii, S_total, idxs):
+            grouped = group_points(cfeat, idx)  # (B, M, S, C)
+            # no-hit centers: compact slot 0 without an actual first hit at
+            # compact row 0 -> the reference gathers FULL row 0
+            d0 = jnp.sum((centers - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
+                         axis=-1)  # (B, M) dist to compact row 0
+            no_hit = jnp.logical_and(idx[:, :, 0] == 0,
+                                     ~(d0 < jnp.float32(float(r) ** 2)))
+            outs.append(jnp.where(no_hit[..., None, None], row0, grouped))
+        return tuple(outs)
+
+    def full_branch(xyz_full, centers, feats_full, cxyz, cfeat):
+        idxs = ball_query_multi_pallas(
+            tuple(float(r) for r in radii), S_total,
+            lax.stop_gradient(xyz_full), centers)
+        return tuple(group_points(feats_full, i) for i in idxs)
+
+    return lax.cond(overflow, full_branch, compact_branch,
+                    xyz, cent_s, features, cxyz, cfeat)
+
+
 class QueryAndGroupResult(NamedTuple):
     features: Array  # (B, M, S, 3 + C) or (B, M, S, 3)
     idx: Array  # (B, M, S)

@@ -244,3 +244,50 @@ class TestPallasFPSInterpret:
             got = np.asarray(fps_pallas(jnp.asarray(xyz), 16))
         want = fps_ref(xyz, 16)
         np.testing.assert_array_equal(got, want)
+
+
+class TestPrunedQueryGroup:
+    def _want(self, radii, ns, xyz, new_xyz, feats):
+        idxs = ops.ball_query_multi(radii, ns, jnp.asarray(xyz),
+                                    jnp.asarray(new_xyz), use_pallas=False)
+        return [np.asarray(ops.group_points(jnp.asarray(feats), i))
+                for i in idxs]
+
+    def test_matches_plain_query_group(self, rng):
+        """Candidate compaction is a pure perf path: grouped features must
+        equal the full-space query+group bit-for-bit, including no-hit
+        centers (full-space row 0) and centers whose first hit is row 0."""
+        B, N, M = 2, 1536, 64
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.5
+        # center 0 sits exactly on point 0 (first-hit-at-0 case); last
+        # center is far away (no-hit case)
+        new_xyz = rng.randn(B, M, 3).astype(np.float32) * 0.5
+        new_xyz[:, 0] = xyz[:, 0]
+        new_xyz[:, -1] = 50.0
+        feats = rng.randn(B, N, 5).astype(np.float32)
+        radii, ns = (0.2, 0.4), (4, 8)
+        got = ops.query_group_pruned_multi(radii, ns, jnp.asarray(xyz),
+                                           jnp.asarray(new_xyz),
+                                           jnp.asarray(feats), cap_frac=0.5)
+        for g, w in zip(got, self._want(radii, ns, xyz, new_xyz, feats)):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6)
+
+    def test_gradient_matches_plain(self, rng):
+        B, N, M = 1, 1100, 32
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.4
+        new_xyz = rng.randn(B, M, 3).astype(np.float32) * 0.4
+        feats = rng.randn(B, N, 4).astype(np.float32)
+        radii, ns = (0.3,), (4,)
+
+        def via_pruned(f):
+            return sum(jnp.sum(g) for g in ops.query_group_pruned_multi(
+                radii, ns, jnp.asarray(xyz), jnp.asarray(new_xyz), f))
+
+        def via_plain(f):
+            idxs = ops.ball_query_multi(radii, ns, jnp.asarray(xyz),
+                                        jnp.asarray(new_xyz))
+            return sum(jnp.sum(ops.group_points(f, i)) for i in idxs)
+
+        g1 = jax.grad(via_pruned)(jnp.asarray(feats))
+        g2 = jax.grad(via_plain)(jnp.asarray(feats))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)

@@ -203,3 +203,42 @@ class TestKnnTransferKernel:
             got = knn_weight_transfer_pallas(
                 jnp.asarray(g), jnp.asarray(b), jnp.asarray(w0), 12, 12)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(got[1]))
+
+
+class TestCoverageAndPruning:
+    def test_coverage_mask(self, rng):
+        from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
+
+        xyz = rng.randn(2, 600, 3).astype(np.float32)
+        centers = rng.randn(2, 40, 3).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(covered_mask_pallas(jnp.asarray(xyz),
+                                                 jnp.asarray(centers), 0.5))
+        d2 = ((xyz[:, :, None, :] - centers[:, None, :, :]) ** 2).sum(-1)
+        want = (d2.min(-1) < 0.25).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("cap_frac", [0.5, 0.05])
+    def test_pruned_query_group_exact(self, rng, cap_frac):
+        """The compaction path (and, at cap_frac=0.05, the overflow
+        fallback cond branch) must reproduce the plain query+group exactly,
+        including no-hit centers and first-hit-at-row-0 centers."""
+        from garment4d_tpu import ops
+
+        B, N, M = 2, 1536, 64
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.5
+        new_xyz = rng.randn(B, M, 3).astype(np.float32) * 0.5
+        new_xyz[:, 0] = xyz[:, 0]
+        new_xyz[:, -1] = 50.0
+        feats = rng.randn(B, N, 5).astype(np.float32)
+        radii, ns = (0.2, 0.4), (4, 8)
+        idxs = ops.ball_query_multi(radii, ns, jnp.asarray(xyz),
+                                    jnp.asarray(new_xyz), use_pallas=False)
+        want = [np.asarray(ops.group_points(jnp.asarray(feats), i))
+                for i in idxs]
+        with pltpu.force_tpu_interpret_mode():
+            got = ops.query_group_pruned_multi(
+                radii, ns, jnp.asarray(xyz), jnp.asarray(new_xyz),
+                jnp.asarray(feats), cap_frac=cap_frac, use_pallas=True)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6)
