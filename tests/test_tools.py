@@ -97,3 +97,71 @@ class TestFitPca:
         loaded = GarmentAssets.from_files("Skirt", obj, pkl, pca_dim=8)
         assert loaded.pca_dim == 8
         assert loaded.num_verts == V
+
+
+class TestDeformationTransfer:
+    def test_point_triangle_projection_exact(self):
+        """Interior, edge and vertex regions of the point-triangle
+        projection against brute-force sampled minima."""
+        from garment4d_tpu.tools.transfer import _project_points_to_triangles
+
+        tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float64)
+        pts = np.array([
+            [0.25, 0.25, 1.0],   # above interior -> bary of foot point
+            [2.0, -1.0, 0.0],    # vertex b region
+            [-1.0, -1.0, 0.5],   # vertex a region
+            [0.5, -2.0, 0.0],    # edge ab region
+            [2.0, 2.0, 0.0],     # edge bc region
+        ], np.float64)
+        d2, bary = _project_points_to_triangles(pts, tri)
+        # brute force over a dense barycentric grid
+        u = np.linspace(0, 1, 201)
+        g1, g2 = np.meshgrid(u, u)
+        keep = (g1 + g2) <= 1.0
+        bcs = np.stack([1 - g1[keep] - g2[keep], g1[keep], g2[keep]], -1)
+        surf = bcs @ tri[0]
+        brute = ((pts[:, None, :] - surf[None]) ** 2).sum(-1).min(1)
+        np.testing.assert_allclose(d2[:, 0], brute, atol=1e-3)
+        np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-9)
+
+    def test_surface_correspondence_reconstructs(self, rng=None):
+        """Target = points sampled ON the source surface must reconstruct
+        exactly through the transfer matrix."""
+        from garment4d_tpu.tools.transfer import (
+            apply_deformation_transfer,
+            deformation_transfer_matrix,
+        )
+
+        rng = np.random.RandomState(0)
+        src = rng.randn(40, 3).astype(np.float32)
+        faces = np.array([[i, (i + 7) % 40, (i + 19) % 40]
+                          for i in range(0, 38, 2)], np.int64)
+        # sample targets on faces with random barycentrics
+        fsel = rng.randint(0, len(faces), 25)
+        b = rng.rand(25, 3); b = b / b.sum(1, keepdims=True)
+        dst = np.einsum("pk,pkd->pd", b, src[faces[fsel]])
+        M = deformation_transfer_matrix(src, faces, dst)
+        rec = np.asarray(apply_deformation_transfer(M, src[None]))[0]
+        np.testing.assert_allclose(rec, dst, atol=1e-5)
+        # rows are convex combinations
+        np.testing.assert_allclose(M.sum(1), 1.0, atol=1e-5)
+
+    def test_staged_fit_recovers_pose(self):
+        from garment4d_tpu import smpl
+        from garment4d_tpu.tools.transfer import fit_smpl_staged
+
+        model = smpl.synthetic_smpl(num_verts=250)
+        rng = np.random.RandomState(1)
+        true_pose = np.zeros((1, 72), np.float32)
+        true_pose[:, :3] = 0.4          # global orient
+        true_pose[:, 3:9] = 0.2         # some body pose
+        true_betas = (rng.randn(1, 10) * 0.3).astype(np.float32)
+        target, _ = model.forward_axis_angle(jnp.asarray(true_betas),
+                                             jnp.asarray(true_pose))
+        target = target + jnp.asarray([[0.1, -0.05, 0.2]])[:, None, :]
+        res = fit_smpl_staged(model, target, iters=(40, 80, 80))
+        fitted, _ = model.forward_axis_angle(jnp.asarray(res.betas),
+                                             jnp.asarray(res.pose))
+        fitted = np.asarray(fitted) + res.transl[:, None, :]
+        err = np.sqrt(((fitted - np.asarray(target)) ** 2).sum(-1)).mean()
+        assert err < 0.02, f"staged fit error {err}"
