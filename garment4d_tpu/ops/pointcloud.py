@@ -134,6 +134,16 @@ def _gather_rows_fwd(points, idx):
 
 def _gather_rows_bwd(res, g):
     idx, (B, N, C) = res
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.gather import gather_supported
+        from garment4d_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+
+        # XLA's TPU scatter lowers to a sequential per-row loop (~170 ms per
+        # big grouping grad in the posed train step); the one-hot MXU
+        # scatter kernel is deterministic and ~30x faster
+        if gather_supported(N, C):
+            return scatter_add_rows_pallas(
+                g.astype(jnp.float32), idx.astype(jnp.int32), N), None
     zeros = jnp.zeros((B, N, C), g.dtype)
     # deterministic scatter-add (the transpose XLA itself derives for
     # take_along_axis)

@@ -242,3 +242,34 @@ class TestCoverageAndPruning:
                 jnp.asarray(feats), cap_frac=cap_frac, use_pallas=True)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6)
+
+
+class TestScatterKernel:
+    def test_matches_at_add(self, rng):
+        from garment4d_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+
+        B, R, N, C = 2, 1500, 300, 6
+        g = rng.randn(B, R, C).astype(np.float32)
+        idx = rng.randint(0, N, (B, R)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(scatter_add_rows_pallas(jnp.asarray(g),
+                                                     jnp.asarray(idx), N))
+        want = np.zeros((B, N, C), np.float32)
+        for b in range(B):
+            np.add.at(want[b], idx[b], g[b])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_collision_heavy(self, rng):
+        """Everything scatters into a handful of rows - the accumulation
+        path across j-groups and r-tiles must sum all of it."""
+        from garment4d_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+
+        B, R, N, C = 1, 4000, 130, 3
+        g = np.ones((B, R, C), np.float32)
+        idx = (np.arange(R) % 5).astype(np.int32)[None]
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(scatter_add_rows_pallas(jnp.asarray(g),
+                                                     jnp.asarray(idx), N))
+        want = np.zeros((B, N, C), np.float32)
+        np.add.at(want[0], idx[0], g[0])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
