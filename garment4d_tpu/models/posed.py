@@ -23,7 +23,7 @@ from garment4d_tpu import ops
 from garment4d_tpu.models.assets import GarmentAssets
 from garment4d_tpu.models.canonical import CanonicalGarmentModel, CanonicalOutput
 from garment4d_tpu.models.skinning import LbsResult, lbs_garment_interpolation
-from garment4d_tpu.nn import MLP, GraphConvolution
+from garment4d_tpu.nn import GraphConvolution
 
 Array = jax.Array
 
@@ -54,26 +54,54 @@ class SplitQueryGroupPE(nn.Module):
     several-fold less gather traffic for C >> feat_num. Parameter tree
     matches MLP((feat_num, feat_num)) -> linear0/linear1 (torch-ckpt mapping
     unchanged).
+
+    With `remat`, the gather/MLP core is rematerialised in the backward
+    instead of saving the (B, M, S, 3+F) grouped activations - the largest
+    training residuals at production shapes.
     """
 
     in_features: int  # 3 + C
     feat_num: int = 32
     radius: float = 0.1
     nsample: int = 16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xyz: Array, new_xyz: Array, features: Array) -> Array:
         k0, b0 = _DenseParams(self.in_features, self.feat_num, name="linear0")()
         k1, b1 = _DenseParams(self.feat_num, self.feat_num, name="linear1")()
-        proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
-        packed = jnp.concatenate([xyz, proj], axis=-1)
-        grouped = ops.group_points(packed, idx)  # (B, M, S, 3+F)
-        rel = grouped[..., :3] - new_xyz[:, :, None, :]
-        h = jnp.einsum("bmsc,cf->bmsf", rel, k0[:3]) + grouped[..., 3:] + b0
-        h = jax.nn.relu(h)
-        h = jnp.einsum("bmsf,fg->bmsg", h, k1) + b1
-        return jnp.max(h, axis=-2)  # (B, M, F)
+
+        def core(xyz, new_xyz, features, k0, b0, k1, b1):
+            proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
+            packed = jnp.concatenate([xyz, proj], axis=-1)
+            grouped = ops.group_points(packed, idx)  # (B, M, S, 3+F)
+            rel = grouped[..., :3] - new_xyz[:, :, None, :]
+            h = jnp.einsum("bmsc,cf->bmsf", rel, k0[:3]) + grouped[..., 3:] + b0
+            h = jax.nn.relu(h)
+            h = jnp.einsum("bmsf,fg->bmsg", h, k1) + b1
+            return jnp.max(h, axis=-2)  # (B, M, F)
+
+        if self.remat:
+            core = jax.checkpoint(core)
+        return core(xyz, new_xyz, features, k0, b0, k1, b1)
+
+
+class _PEParams(nn.Module):
+    """Parameter container with MLP((f, f))-compatible tree names
+    (linear0/linear1), so the body positional-encoding block can run as
+    pure array code (and be wrapped in jax.checkpoint without flax lifting).
+    Torch-ckpt key mapping unchanged."""
+
+    in_features: int
+    feat_num: int
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = _DenseParams(self.in_features, self.feat_num,
+                              name="linear0")()
+        k1, b1 = _DenseParams(self.feat_num, self.feat_num, name="linear1")()
+        return k0, b0, k1, b1
 
 
 class PosedOutput(NamedTuple):
@@ -117,6 +145,11 @@ class PosedGarmentModel(nn.Module):
     feat_num: int = 32
     hidden_dim: int = 128
     bn_axis_name: Optional[str] = None
+    # rematerialise the per-iteration neighbourhood/PE blocks in the
+    # backward instead of saving the (B*T, Vg, S, C) grouped activations -
+    # trades ~1 extra forward of the (cheap) query+gather work for the
+    # memory that otherwise OOMs HBM at batch 8 x T=10 training
+    remat: bool = False
 
     @property
     def _radii(self):
@@ -173,14 +206,16 @@ class PosedGarmentModel(nn.Module):
         garment_xyz = canonical.garment_xyz        # stage-1 levels (BT, ., 3)
         garment_feats = canonical.garment_features
 
-        body_pe_mlps = [MLP((self.feat_num, self.feat_num), name=f"body_pe{i}")
-                        for i in range(3)]
+        body_pe_params = [
+            _PEParams(3 + 3, self.feat_num, name=f"body_pe{i}")()
+            for i in range(3)
+        ]
         garment_pe_dims = [3 + garment_feats[i].shape[-1] for i in range(3)]
         garment_pes = [
             SplitQueryGroupPE(
                 in_features=garment_pe_dims[i], feat_num=self.feat_num,
                 radius=r["garment_radius"][i], nsample=r["garment_nsample"][i],
-                name=f"garment_pe{i}")
+                remat=self.remat, name=f"garment_pe{i}")
             for i in range(3)
         ]
         temporal_qkv = [
@@ -211,15 +246,24 @@ class PosedGarmentModel(nn.Module):
             # early-exit: in-radius hits are scattered across the SMPL index
             # range (measured: with a 2048-point prefix 100% of center tiles
             # still rescanned), so a full scan over the compact set wins.
-            body_grouped = ops.query_group_pruned_multi(
-                r["body_radius"], r["body_nsample"],
-                body_v, cur_garment_v, body_packed)
-            for i in range(3):
-                grouped = body_grouped[i]
-                rel = grouped[..., :3] - cur_garment_v[:, :, None, :]
-                qg = jnp.concatenate([rel, grouped[..., 3:]], axis=-1)
-                pe = jnp.max(body_pe_mlps[i](qg), axis=-2)  # (BT, Vg, 32)
-                pe_list.append(pe)
+            def body_block(cur_v, body_v, body_packed, pe_params):
+                grouped_all = ops.query_group_pruned_multi(
+                    r["body_radius"], r["body_nsample"],
+                    body_v, cur_v, body_packed)
+                pes = []
+                for grouped, (k0, b0, k1, b1) in zip(grouped_all, pe_params):
+                    rel = grouped[..., :3] - cur_v[:, :, None, :]
+                    qg = jnp.concatenate([rel, grouped[..., 3:]], axis=-1)
+                    h = jax.nn.relu(
+                        jnp.einsum("bmsc,cf->bmsf", qg, k0) + b0)
+                    h = jnp.einsum("bmsf,fg->bmsg", h, k1) + b1
+                    pes.append(jnp.max(h, axis=-2))  # (BT, Vg, 32)
+                return tuple(pes)
+
+            if self.remat:
+                body_block = jax.checkpoint(body_block)
+            pe_list.extend(body_block(cur_garment_v, body_v, body_packed,
+                                      body_pe_params))
             for i in range(3):
                 pe = garment_pes[i](garment_xyz[i], cur_garment_v,
                                     garment_feats[i])

@@ -104,6 +104,10 @@ def main():
         if "TPU" not in track and "/device" not in track.lower():
             continue
         name = e.get("name", "")
+        # purely-numeric names are XLA region/parent events that contain
+        # (and double-count) their child ops; skip them
+        if name.isdigit() or name.startswith("jit_"):
+            continue
         per_op[name] += e["dur"] / 1e3
         total += e["dur"] / 1e3
     print(f"total device time in trace: {total / args.iters:.1f} ms/step")

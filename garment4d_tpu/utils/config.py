@@ -141,6 +141,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="directory with SMPL_{MALE,FEMALE}.{pkl,npz}")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="use the synthetic fixture dataset (no CLOTH3D needed)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialise posed-stage PE blocks in the backward (fits batch>=8 training in HBM)")
     p.add_argument("--debug_nans", type=int, default=0,
                    help="enable jax_debug_nans (the TPU equivalent of the "
                         "reference's isnan->pdb tripwires, train_temporal.py:250)")

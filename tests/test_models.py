@@ -175,3 +175,46 @@ class TestSplitQueryGroupPE:
         h = np.maximum(qg @ k0 + b0, 0.0) @ k1 + b1
         want = h.max(axis=-2)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestRemat:
+    def test_remat_outputs_and_grads_match(self):
+        """remat=True must be numerically identical (same params, outputs,
+        and gradients) - it only changes what the backward saves."""
+        import jax
+
+        from garment4d_tpu import smpl
+        from garment4d_tpu.data.synthetic import make_batch
+        from garment4d_tpu.models import GarmentAssets, PosedGarmentModel
+        from garment4d_tpu.train.step import body_inputs_from_batch
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)
+        body_model = smpl.synthetic_smpl(num_verts=250)
+        batch = make_batch(assets, body_model, batch_size=1, T=2, npoints=512)
+        body = body_inputs_from_batch(batch)
+
+        def build(remat):
+            m = PosedGarmentModel(assets=assets, body_faces=body_model.faces,
+                                  lbs_k=4, iterations=2, remat=remat)
+            v = m.init(jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+            return m, v
+
+        m0, v0 = build(False)
+        m1, v1 = build(True)
+        chex = jax.tree_util.tree_structure(v0["params"])
+        assert chex == jax.tree_util.tree_structure(v1["params"])
+
+        def loss(m, v):
+            out = m.apply(v, batch["pcd"], body, train=False)
+            return jnp.mean(out.iter_garment_v[-1] ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(m0, {**v0, "params": p}))(
+            v0["params"])
+        l1, g1 = jax.value_and_grad(lambda p: loss(m1, {**v1, "params": p}))(
+            v0["params"])
+        assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+        for (k0, a), (k1, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(k0))

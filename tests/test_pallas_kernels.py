@@ -273,3 +273,26 @@ class TestScatterKernel:
         want = np.zeros((B, N, C), np.float32)
         np.add.at(want[0], idx[0], g[0])
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestVertexNormalsKernelPath:
+    def test_matches_xla_path(self, rng):
+        """The MXU-scatter vertex-normal path (TPU) must match the XLA
+        .at[].add path (CPU fallback) to roundoff."""
+        from garment4d_tpu.ops import meshmath
+
+        B, V = 2, 200
+        verts = rng.randn(B, V, 3).astype(np.float32)
+        faces = rng.randint(0, V, (300, 3)).astype(np.int32)
+        want = np.asarray(meshmath.vertex_normals(jnp.asarray(verts), faces))
+        from garment4d_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+
+        fn = np.asarray(meshmath.face_normals(jnp.asarray(verts), faces))
+        idx = np.broadcast_to(faces.T.reshape(1, -1), (B, 900)).copy()
+        fn3 = np.broadcast_to(fn[:, None], (B, 3, 300, 3)).reshape(B, 900, 3)
+        with pltpu.force_tpu_interpret_mode():
+            vn = np.asarray(scatter_add_rows_pallas(
+                jnp.asarray(fn3.copy()), jnp.asarray(idx), V))
+        vn = vn / np.clip(np.linalg.norm(vn, axis=-1, keepdims=True),
+                          1e-6, None)
+        np.testing.assert_allclose(vn, want, rtol=1e-4, atol=1e-5)

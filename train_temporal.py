@@ -172,7 +172,8 @@ def main(argv=None):
     elif args.GarmentPCALBS:
         model = PosedGarmentModel(
             assets=assets, body_faces=body_faces_t,
-            lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION)
+            lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION,
+            remat=bool(args.remat))
     elif args.GarmentPCA:
         model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg))
     else:
