@@ -34,28 +34,13 @@ def vertex_normals(verts: Array, faces: np.ndarray) -> Array:
     """Area-agnostic vertex normals: sum of incident face normals, normalised.
 
     Parity with reference `mesh_utils.compute_vnorms` (openmesh incidence +
-    torch_scatter -> deterministic scatter-add here). On TPU the face->vertex
-    accumulation routes through the one-hot MXU scatter kernel: XLA's serial
-    scatter cost ~130 ms per call at SMPL scale and ran several times per
-    train step (model forward, loss, backward recompute).
+    torch_scatter -> deterministic scatter-add here). XLA's scatter handles
+    this well (few updates per batch row, fused); routing it through the
+    one-hot MXU scatter kernel was measured ~15 ms SLOWER per forward at
+    SMPL scale - the kernel only wins on the huge grouping gradients.
     """
     V = verts.shape[-2]
     fn = face_normals(verts, faces)  # (..., F, 3)
-    F = fn.shape[-2]
-    if jax.default_backend() == "tpu" and verts.ndim == 3:
-        from garment4d_tpu.ops.pallas.gather import gather_supported
-        from garment4d_tpu.ops.pallas.scatter import scatter_add_rows_pallas
-
-        if gather_supported(V, 3):
-            B = verts.shape[0]
-            idx = jnp.broadcast_to(
-                jnp.transpose(jnp.asarray(faces, jnp.int32)).reshape(1, 3 * F),
-                (B, 3 * F))
-            fn3 = jnp.broadcast_to(fn[:, None], (B, 3, F, 3)).reshape(B, 3 * F, 3)
-            vn = scatter_add_rows_pallas(fn3, idx, V)
-            norm = jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True),
-                            1e-6, None)
-            return vn / norm
     vn = jnp.zeros_like(verts)
     for k in range(3):
         vn = vn.at[..., faces[:, k], :].add(fn)

@@ -69,8 +69,11 @@ def three_nn_pallas(unknown: jax.Array, known: jax.Array):
     (dist2 (B, N, 3) squared distances, idx (B, N, 3) int32)."""
     B, N, _ = unknown.shape
     M = known.shape[1]
-    TILE_Q = 32
     m_pad = _round_up(M, 128)
+    # biggest query tile whose ~4 live (Tq, Mp) f32 temporaries stay well
+    # inside VMEM; small tiles pay per-grid-step fixed costs (measured: 15.6
+    # -> ~3 ms at the fp1 shapes going from Tq=32 to 256)
+    TILE_Q = max(32, min(256, (524288 // m_pad) // 32 * 32))
     n_pad = _round_up(N, TILE_Q)
 
     known_t = jnp.transpose(known, (0, 2, 1)).astype(jnp.float32)
