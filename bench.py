@@ -106,6 +106,10 @@ def main():
     except Exception:
         pass
 
+    # (the opt-in --bf16 encoder mode was measured at these shapes: 154 vs
+    # 156 f/s - the workload is selection/VPU-bound, not matmul-bound, so
+    # the casts outweigh the MXU savings; not benched to keep compiles lean)
+
     # ---- canonical-stage inference --------------------------------------
     canon = CanonicalGarmentModel(assets=assets)
     canon_vars = jax.jit(canon.init, static_argnames=("train",))(

@@ -33,6 +33,9 @@ class PointNet2SegBackbone(nn.Module):
     bn: bool = True
     global_feat: bool = True
     bn_axis_name: Optional[str] = None
+    # bf16 computation for the SA/FP/head dense stacks (params and geometry
+    # stay f32); None = f32, bit-parity with the reference
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, pointcloud: Array, train: bool = False) -> BackboneOutput:
@@ -41,7 +44,8 @@ class PointNet2SegBackbone(nn.Module):
         SA widths/radii per reference `pointnet2encoder.py:41-76`; FP widths
         per `:91-96`; head per `:98-101`.
         """
-        kw = dict(use_xyz=self.use_xyz, bn=self.bn, bn_axis_name=self.bn_axis_name)
+        kw = dict(use_xyz=self.use_xyz, bn=self.bn,
+                  bn_axis_name=self.bn_axis_name, dtype=self.compute_dtype)
         xyz = pointcloud[..., :3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
@@ -68,24 +72,30 @@ class PointNet2SegBackbone(nn.Module):
         else:
             middle = None
 
+        fpkw = dict(bn=self.bn, bn_axis_name=self.bn_axis_name,
+                    dtype=self.compute_dtype)
         fp_modules = [
-            FPModule(mlp=(128, 64), bn=self.bn, bn_axis_name=self.bn_axis_name, name="fp1"),
-            FPModule(mlp=(256, 128), bn=self.bn, bn_axis_name=self.bn_axis_name, name="fp2"),
-            FPModule(mlp=(512, 256), bn=self.bn, bn_axis_name=self.bn_axis_name, name="fp3"),
+            FPModule(mlp=(128, 64), name="fp1", **fpkw),
+            FPModule(mlp=(256, 128), name="fp2", **fpkw),
+            FPModule(mlp=(512, 256), name="fp3", **fpkw),
         ]
         for i in range(-1, -4, -1):  # top-down: coarse -> fine
             l_features[i - 1] = fp_modules[i](
                 l_xyz[i - 1], l_xyz[i], l_features[i - 1], l_features[i], train=train)
 
         x = ConvBNRelu(32, bn=True, bn_axis_name=self.bn_axis_name,
+                       dtype=self.compute_dtype,
                        name="head0")(l_features[0], train=train)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         sem_logits = ConvBNRelu(self.num_classes, bn=False, relu=False,
-                                name="head1")(x)
+                                dtype=self.compute_dtype, name="head1")(x)
 
+        # downstream consumers (losses, garment selection, posed stage) run
+        # in f32 regardless of the backbone's computation dtype
+        as32 = (lambda a: None if a is None else a.astype(jnp.float32))
         return BackboneOutput(
-            global_feat=middle,
-            sem_logits=sem_logits,
-            features=tuple(l_features),
+            global_feat=as32(middle),
+            sem_logits=as32(sem_logits),
+            features=tuple(as32(f) for f in l_features),
             xyz=tuple(l_xyz),
         )

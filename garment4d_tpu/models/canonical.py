@@ -71,6 +71,9 @@ class CanonicalGarmentModel(nn.Module):
     assets: GarmentAssets
     only_seg: bool = False
     bn_axis_name: Optional[str] = None
+    # bf16 computation for the backbone / garment-encoder dense stacks
+    # (params, geometry, PCA head stay f32); None = reference bit-parity
+    compute_dtype: Optional[jnp.dtype] = None
 
     def pca_inverse_transform(self, coeff: Array) -> Array:
         """(B, pca_dim) -> (B, V, 3); reference `mesh_encoder.py:101-107`.
@@ -97,6 +100,7 @@ class CanonicalGarmentModel(nn.Module):
 
         backbone = PointNet2SegBackbone(
             global_feat=False, bn_axis_name=self.bn_axis_name,
+            compute_dtype=self.compute_dtype,
             name="pointnet")(flat, train=train)
 
         if self.only_seg:
@@ -107,7 +111,8 @@ class CanonicalGarmentModel(nn.Module):
             backbone.xyz[0], backbone.features[0], labels,
             self.assets.label, N // 4)
 
-        kw = dict(use_xyz=True, bn=True, bn_axis_name=self.bn_axis_name)
+        kw = dict(use_xyz=True, bn=True, bn_axis_name=self.bn_axis_name,
+                  dtype=self.compute_dtype)
         # garment encoder widths per reference `mesh_encoder.py:54-78`
         enc1 = SAModuleMSG(npoint=512, radii=(0.05, 0.1), nsamples=(16, 32),
                            mlps=((32, 32), (64, 64)), name="garment_sa1", **kw)
@@ -138,12 +143,14 @@ class CanonicalGarmentModel(nn.Module):
         coeff = ConvBNRelu(self.assets.pca_dim, bn=False, relu=False,
                            name="pca_head2")(h)
 
-        tpose_garment = self.pca_inverse_transform(coeff)
+        tpose_garment = self.pca_inverse_transform(coeff.astype(jnp.float32))
+        # downstream (posed stage, losses) runs f32 regardless of the
+        # encoder computation dtype
         return CanonicalOutput(
             backbone=backbone,
             garment_xyz=tuple(g_xyz),
-            garment_features=tuple(g_feat),
-            garment_summary=summary,
-            pca_coeff=coeff,
+            garment_features=tuple(f.astype(jnp.float32) for f in g_feat),
+            garment_summary=summary.astype(jnp.float32),
+            pca_coeff=coeff.astype(jnp.float32),
             tpose_garment=tpose_garment,
         )

@@ -150,6 +150,8 @@ class PosedGarmentModel(nn.Module):
     # trades ~1 extra forward of the (cheap) query+gather work for the
     # memory that otherwise OOMs HBM at batch 8 x T=10 training
     remat: bool = False
+    # bf16 stage-1 computation (see CanonicalGarmentModel.compute_dtype)
+    compute_dtype: Optional[jnp.dtype] = None
 
     @property
     def _radii(self):
@@ -171,6 +173,7 @@ class PosedGarmentModel(nn.Module):
         # ---- stage 1, frozen (reference `mesh_encoder.py:416-417`) --------
         canonical = CanonicalGarmentModel(
             assets=self.assets, bn_axis_name=self.bn_axis_name,
+            compute_dtype=self.compute_dtype,
             name="canonical")(x, train=False)
         canonical = jax.tree_util.tree_map(
             lambda a: jax.lax.stop_gradient(a) if isinstance(a, jax.Array) else a,

@@ -37,6 +37,9 @@ class ConvBNRelu(nn.Module):
     relu: bool = True
     bias: Optional[bool] = None  # default: bias only when bn is off
     bn_axis_name: Optional[str] = None
+    # computation dtype (params stay f32): bf16 halves the MXU/VPU cost of
+    # the dense stacks; None = f32 (bit-parity with the reference)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -45,6 +48,7 @@ class ConvBNRelu(nn.Module):
             self.features,
             use_bias=use_bias,
             kernel_init=nn.initializers.kaiming_normal(),
+            dtype=self.dtype,
             name="conv",
         )(x)
         if self.bn:
@@ -53,6 +57,7 @@ class ConvBNRelu(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=self.bn_axis_name,
+                dtype=self.dtype,
                 name="bn",
             )(x)
         if self.relu:
@@ -70,12 +75,13 @@ class SharedMLP(nn.Module):
     widths: Sequence[int]
     bn: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         for i, w in enumerate(self.widths):
             x = ConvBNRelu(w, bn=self.bn, bn_axis_name=self.bn_axis_name,
-                           name=f"layer{i}")(x, train=train)
+                           dtype=self.dtype, name=f"layer{i}")(x, train=train)
         return x
 
 

@@ -36,6 +36,7 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype of the MLP stacks
 
     @nn.compact
     def __call__(self, xyz: Array, features: Optional[Array],
@@ -57,6 +58,7 @@ class SAModuleMSG(nn.Module):
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             feat = SharedMLP(self.mlps[i], bn=self.bn,
                              bn_axis_name=self.bn_axis_name,
+                             dtype=self.dtype,
                              name=f"mlp{i}")(grouped, train=train)
             outs.append(jnp.max(feat, axis=2))  # max over samples
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -78,6 +80,7 @@ class FPModule(nn.Module):
     mlp: Sequence[int]
     bn: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, unknown: Array, known: Optional[Array],
@@ -98,4 +101,4 @@ class FPModule(nn.Module):
         else:
             new_features = interpolated
         return SharedMLP(self.mlp, bn=self.bn, bn_axis_name=self.bn_axis_name,
-                         name="mlp")(new_features, train=train)
+                         dtype=self.dtype, name="mlp")(new_features, train=train)

@@ -315,18 +315,29 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
     cxyz = jnp.where(valid[..., None], cxyz, jnp.float32(1e9))
     cfeat = _gather_rows(features, safe_idx)
 
+    def _group_all(feats, idxs):
+        # one fused gather for all radii (per-call fixed costs paid once),
+        # split back into the per-radius neighbourhoods
+        cat = jnp.concatenate([i.reshape(B, -1) for i in idxs], axis=1)
+        flat = _gather_rows(feats, cat)  # (B, M * sum(S), C)
+        outs, off = [], 0
+        for s in S_total:
+            outs.append(flat[:, off:off + M * s, :].reshape(B, M, s, -1))
+            off += M * s
+        return outs
+
     def compact_branch(xyz_full, centers, feats_full, cxyz, cfeat):
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
             lax.stop_gradient(cxyz), centers)
         row0 = feats_full[:, 0:1, None, :]  # (B, 1, 1, C) full-space row 0
+        d0 = jnp.sum((centers - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
+                     axis=-1)  # (B, M) dist to compact row 0
         outs = []
-        for r, s, idx in zip(radii, S_total, idxs):
-            grouped = group_points(cfeat, idx)  # (B, M, S, C)
+        for r, s, idx, grouped in zip(radii, S_total, idxs,
+                                      _group_all(cfeat, idxs)):
             # no-hit centers: compact slot 0 without an actual first hit at
             # compact row 0 -> the reference gathers FULL row 0
-            d0 = jnp.sum((centers - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
-                         axis=-1)  # (B, M) dist to compact row 0
             no_hit = jnp.logical_and(idx[:, :, 0] == 0,
                                      ~(d0 < jnp.float32(float(r) ** 2)))
             outs.append(jnp.where(no_hit[..., None, None], row0, grouped))
@@ -336,7 +347,7 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
             lax.stop_gradient(xyz_full), centers)
-        return tuple(group_points(feats_full, i) for i in idxs)
+        return tuple(_group_all(feats_full, idxs))
 
     return lax.cond(overflow, full_branch, compact_branch,
                     xyz, cent_s, features, cxyz, cfeat)

@@ -141,6 +141,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="directory with SMPL_{MALE,FEMALE}.{pkl,npz}")
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="use the synthetic fixture dataset (no CLOTH3D needed)")
+    p.add_argument("--bf16", type=int, default=0,
+                   help="bf16 computation for the encoder dense stacks (params/geometry stay f32)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialise posed-stage PE blocks in the backward (fits batch>=8 training in HBM)")
     p.add_argument("--debug_nans", type=int, default=0,

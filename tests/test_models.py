@@ -218,3 +218,39 @@ class TestRemat:
                 jax.tree_util.tree_leaves_with_path(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6, err_msg=str(k0))
+
+
+class TestBf16Mode:
+    def test_bf16_close_to_f32(self):
+        """--bf16 computes the encoder stacks in bfloat16 with f32 params:
+        same param tree, outputs within bf16 tolerance of the f32 path."""
+        import jax
+
+        from garment4d_tpu import smpl
+        from garment4d_tpu.data.synthetic import make_batch
+        from garment4d_tpu.models import CanonicalGarmentModel, GarmentAssets
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)
+        body_model = smpl.synthetic_smpl(num_verts=250)
+        batch = make_batch(assets, body_model, batch_size=1, T=2, npoints=512)
+
+        m32 = CanonicalGarmentModel(assets=assets)
+        v = m32.init(jax.random.PRNGKey(0), batch["pcd"], train=False)
+        m16 = CanonicalGarmentModel(assets=assets, compute_dtype=jnp.bfloat16)
+        v16 = m16.init(jax.random.PRNGKey(0), batch["pcd"], train=False)
+        assert (jax.tree_util.tree_structure(v["params"])
+                == jax.tree_util.tree_structure(v16["params"]))
+        # params stay f32 even in bf16 mode
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(v16["params"]))
+
+        o32 = m32.apply(v, batch["pcd"], train=False)
+        o16 = m16.apply(v, batch["pcd"], train=False)
+        assert o16.tpose_garment.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(o16.garment_summary), np.asarray(o32.garment_summary),
+            rtol=0.15, atol=0.3)
+        # reconstructed garment within bf16 noise of f32
+        err = np.abs(np.asarray(o16.tpose_garment)
+                     - np.asarray(o32.tpose_garment)).max()
+        assert err < 0.2, err

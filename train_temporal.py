@@ -167,15 +167,17 @@ def main(argv=None):
 
     # ---------------- model ----------------
     example = next(train_batches(0))
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
     if args.GarmentPCALBS and args.MGN:
         model = MgnGarmentModel(assets=assets, body_faces=body_faces_t)
     elif args.GarmentPCALBS:
         model = PosedGarmentModel(
             assets=assets, body_faces=body_faces_t,
             lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION,
-            remat=bool(args.remat))
+            remat=bool(args.remat), compute_dtype=compute_dtype)
     elif args.GarmentPCA:
-        model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg))
+        model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg),
+                                      compute_dtype=compute_dtype)
     else:
         raise SystemExit("select a stage: --GarmentPCA 1 or --GarmentPCALBS 1")
 
