@@ -96,10 +96,15 @@ def cot_laplacian_loss(pred_v: Array, gt_v: Array, faces_tri: np.ndarray) -> Arr
     return jnp.mean(jnp.abs(n_pred - n_gt))
 
 
-def uniform_laplacian_regularizer(pred_v: Array, lap_adj: Array) -> Array:
+def uniform_laplacian_regularizer(pred_v: Array, lap_adj: Array,
+                                  lap_offsets=None) -> Array:
     """mean ||(I - norm(A)) v|| (reference `temporal_loss.py:127-131`).
-    pred_v: (..., V, 3), lap_adj: (V, V)."""
-    lap = ops.graph_matmul(lap_adj, pred_v)
+    pred_v: (..., V, 3), lap_adj: (V, V). `lap_offsets` (from
+    `ops.graph.cyclic_diagonals(lap_adj)`) selects the banded fast path."""
+    if lap_offsets is not None:
+        lap = ops.graph.graph_matmul_banded(lap_adj, pred_v, lap_offsets)
+    else:
+        lap = ops.graph_matmul(lap_adj, pred_v)
     return jnp.mean(jnp.linalg.norm(lap, axis=-1))
 
 
@@ -206,10 +211,11 @@ def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
 
 def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
                      body_faces: np.ndarray, weights: LossWeights,
-                     valid: Array = None) -> Dict[str, Array]:
+                     valid: Array = None, lap_offsets=None) -> Dict[str, Array]:
     """All posed-stage losses (reference `temporal_loss_PCA_LBS`,
     `temporal_loss.py:147-201`). `output` is a PosedOutput. `valid` is an
-    optional (B,) mask excluding eval-tail padding duplicates."""
+    optional (B,) mask excluding eval-tail padding duplicates. `lap_offsets`
+    (see `uniform_laplacian_regularizer`) enables the banded Laplacian."""
     B, T = batch["pose"].shape[:2]
     losses: Dict[str, Array] = {}
     total = 0.0
@@ -235,8 +241,11 @@ def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
 
     lap_acc = 0.0
     for pred in output.iter_garment_v:
-        lap_acc = lap_acc + mean(jnp.linalg.norm(
-            ops.graph_matmul(lap_adj, pred), axis=-1))
+        if lap_offsets is not None:
+            lap = ops.graph.graph_matmul_banded(lap_adj, pred, lap_offsets)
+        else:
+            lap = ops.graph_matmul(lap_adj, pred)
+        lap_acc = lap_acc + mean(jnp.linalg.norm(lap, axis=-1))
     losses["lbs_garment_lap_loss"] = lap_acc
     total = total + lap_acc * weights.lbs_garment_lap
 

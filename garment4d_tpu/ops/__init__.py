@@ -11,6 +11,7 @@ from garment4d_tpu.ops.pointcloud import (
     gather_points,
     group_all,
     group_points,
+    group_points_cf,
     interp_weights_from_dists,
     knn_points,
     pairwise_sqdist,
@@ -42,6 +43,7 @@ __all__ = [
     "gather_points",
     "group_all",
     "group_points",
+    "group_points_cf",
     "interp_weights_from_dists",
     "knn_points",
     "pairwise_sqdist",

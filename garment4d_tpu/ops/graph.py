@@ -16,6 +16,8 @@ the hot path.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -96,3 +98,92 @@ def graph_matmul(adj: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.einsum("vw,...wc->...vc", adj, x,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def cyclic_diagonals(mat: np.ndarray, max_diags: int = 32):
+    """Offsets of the nonzero cyclic diagonals of a (V, V) matrix, or None
+    if there are more than `max_diags`.
+
+    Mesh adjacencies of grid/ring-ordered templates (CLOTH3D garments are
+    regular quad grids) are BANDED: `adj[i, j] != 0` only for a handful of
+    cyclic offsets `(j - i) mod V` (ring neighbours at +-1 and +-ring_size,
+    the wrap-around seams, and the self loop). For those, the V x V matmul
+    collapses to a few shifted elementwise multiply-adds (`graph_matmul_banded`)
+    - O(D * V * C) instead of O(V^2 * C). Irregular templates return None and
+    keep the dense MXU path.
+    """
+    v = mat.shape[0]
+    i, j = np.nonzero(mat)
+    offs = np.unique((j - i) % v)
+    if len(offs) > max_diags:
+        return None
+    return tuple(int(o) for o in offs)
+
+
+def graph_matmul_banded(adj: jax.Array, x: jax.Array, offsets) -> jax.Array:
+    """Banded equivalent of `graph_matmul` for a matrix whose nonzero cyclic
+    diagonals are `offsets` (from `cyclic_diagonals`; same result up to f32
+    summation order).
+
+    adj: (V, V), x: (..., V, C) -> (..., V, C). The diagonal values are
+    sliced out of the dense operator inside jit (a V x D gather, negligible),
+    so callers keep passing the same dense constant as the MXU path. On TPU
+    the shifted multiply-adds run in one VMEM-resident Pallas pass (XLA
+    lowers each roll to a full-array slice+concat through HBM, which is
+    slower than the dense matmul it replaces); gradient flows to `x` via the
+    transposed band (cyclic offsets V-o with rolled values).
+    """
+    v = adj.shape[0]
+    idx = jnp.arange(v)
+    vals = jax.lax.stop_gradient(
+        jnp.stack([adj[idx, (idx + o) % v] for o in offsets]))  # (D, V)
+    lead = x.shape[:-2]
+    flat = x.reshape((-1,) + x.shape[-2:])
+    n, _, c = flat.shape
+    offsets = tuple(int(o) for o in offsets)
+    if c < 32 and n * c <= 2048:
+        # narrow channels (e.g. vertex coordinates, C=3): the kernel pads C
+        # to a full 128-lane register, so fold the batch into the lane axis
+        # instead - the roll is along V and identical for every batch row
+        folded = jnp.transpose(flat, (1, 0, 2)).reshape(1, v, n * c)
+        out = _banded_apply(vals, folded, offsets)
+        out = jnp.transpose(out.reshape(v, n, c), (1, 0, 2))
+    else:
+        out = _banded_apply(vals, flat, offsets)
+    return out.reshape(lead + out.shape[-2:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _banded_apply(vals: jax.Array, x: jax.Array, offsets) -> jax.Array:
+    """vals: (D, V) cyclic-diagonal values, x: (B, V, C) -> (B, V, C)."""
+    return _banded_apply_impl(vals, x, offsets)
+
+
+def _banded_apply_impl(vals, x, offsets):
+    v = x.shape[-2]
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.banded import banded_matmul_pallas
+
+        return banded_matmul_pallas(vals, x, offsets, v)
+    out = None
+    for d, o in enumerate(offsets):
+        term = jnp.roll(x, -o, axis=-2) * vals[d][:, None]
+        out = term if out is None else out + term
+    return out
+
+
+def _banded_apply_fwd(vals, x, offsets):
+    return _banded_apply_impl(vals, x, offsets), (vals,)
+
+
+def _banded_apply_bwd(offsets, res, g):
+    (vals,) = res
+    v = g.shape[-2]
+    # transpose of a cyclic-banded matrix: offsets (V - o) % V, values
+    # rolled so that row i of diagonal V-o holds adj[(i - o) % V, i]
+    offs_t = tuple((v - o) % v for o in offsets)
+    vals_t = jnp.stack([jnp.roll(vals[d], -offs_t[d]) for d in range(len(offsets))])
+    return jnp.zeros_like(vals), _banded_apply_impl(vals_t, g, offs_t)
+
+
+_banded_apply.defvjp(_banded_apply_fwd, _banded_apply_bwd)

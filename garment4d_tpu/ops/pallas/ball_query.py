@@ -118,14 +118,195 @@ def _bq_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples, s_pads,
                 out_ref[0] = idx
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+# ---------------------------------------------------------------------------
+# group-bounded kernel (large point sets)
+# ---------------------------------------------------------------------------
+
+_GROUP_W = 512
+
+
+def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
+                       n_valid: int, m_valid: int, tile_m: int,
+                       n_groups: int):
+    """Group-bounded scan: slot extraction only runs over the prefix of
+    512-lane groups that can contain a tile's first-`nsample` hits.
+
+    Correctness: the hit count is monotone along the lane axis, so once a
+    row has accumulated min(nsample, total_hits) hits, every later lane has
+    cum >= s+1 for all real slots s and contributes nothing to their
+    positions - later groups can be skipped exactly. The per-row bound uses
+    min(nsample, total_hits) (not nsample): rows whose hits are simply
+    exhausted stop at their LAST hit instead of forcing a full scan - the
+    flaw that made the old fixed-`prefix` early exit rescan ~100% of tiles.
+
+    xyz_ref: (1, G, 8, 512) f32, xyz on sublanes 0..2; centers_ref:
+    (1, Tm, 3); refs = out_refs per radius + scratch: d2 (G, Tm, 512) f32,
+    before (G, Tm, 128) int32 (per-radius exclusive group hit counts in
+    lanes r*8... col r), pos (Tm, s_pad_r) int32 per radius.
+    """
+    R = len(radii2)
+    out_refs = refs[:R]
+    d2_ref = refs[R]
+    before_ref = refs[R + 1]
+    pos_refs = refs[R + 2:R + 2 + R]
+
+    W = _GROUP_W
+    cx = centers_ref[0, :, 0:1]
+    cy = centers_ref[0, :, 1:2]
+    cz = centers_ref[0, :, 2:3]
+    lane = lax.broadcasted_iota(jnp.int32, (tile_m, W), dimension=1)
+    row = lax.broadcasted_iota(jnp.int32, (tile_m, 1), dimension=0)
+    row_valid = (pl.program_id(1) * tile_m + row) < m_valid
+
+    # ---- phase 1: distances, per-group hit totals, running prefix -------
+    def phase1(g, running):  # running: (Tm, 128) int32, col r = radius r cnt
+        chunk = xyz_ref[0, g]  # (8, W)
+        d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
+              + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
+        d2_ref[g] = d2
+        before_ref[g] = running
+        valid = (g * W + lane) < n_valid
+        for r, r2 in enumerate(radii2):
+            m = jnp.logical_and(d2 < r2, valid)
+            tot = jnp.sum(m.astype(jnp.int32), axis=-1, keepdims=True)
+            running += jnp.where(
+                lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) == r,
+                tot, 0)
+        return running
+
+    cnt_all = lax.fori_loop(0, n_groups, phase1,
+                            jnp.zeros((tile_m, 128), jnp.int32))
+
+    # ---- per-row live-group bounds -> per-radius scalar bounds ----------
+    bounds = []
+    for r, S in enumerate(nsamples):
+        cnt_r = cnt_all[:, r:r + 1]
+        tgt = jnp.minimum(cnt_r, S)  # (Tm, 1)
+
+        def count_live(g, acc, r=r, tgt=tgt):
+            # groups strictly before the one holding the tgt-th hit
+            return acc + (before_ref[g][:, r:r + 1] < tgt).astype(jnp.int32)
+
+        live = lax.fori_loop(1, n_groups, count_live,
+                             jnp.zeros((tile_m, 1), jnp.int32))
+        live = live + (tgt > 0)  # + the group containing the tgt-th hit
+        live = jnp.where(row_valid, live, 0)  # padded center rows: no work
+        bounds.append(jnp.max(live))
+    p_max = bounds[0]
+    for b in bounds[1:]:
+        p_max = jnp.maximum(p_max, b)
+
+    for r in range(R):
+        pos_refs[r][...] = jnp.zeros((tile_m, s_pads[r]), jnp.int32)
+
+    # ---- phase 2: packed local scan + slot extraction, live groups only -
+    def phase2(g, _):
+        @pl.when(g < p_max)
+        def _live():
+            d2 = d2_ref[g]
+            valid = (g * W + lane) < n_valid
+            # within-group counts are <= 512: three radii pack into one
+            # int32 (10-bit fields) and share one 9-step scan
+            packed = jnp.zeros((tile_m, W), jnp.int32)
+            for r, r2 in enumerate(radii2):
+                m = jnp.logical_and(d2 < r2, valid).astype(jnp.int32)
+                packed = packed + (m << (10 * r))
+            shift = 1
+            while shift < W:
+                rolled = pltpu.roll(packed, shift, axis=1)
+                packed = packed + jnp.where(lane >= shift, rolled, 0)
+                shift *= 2
+            for r, (S, sp) in enumerate(zip(nsamples, s_pads)):
+                @pl.when(g < bounds[r])
+                def _slots(r=r, S=S, sp=sp, packed=packed):
+                    local = (packed >> (10 * r)) & 0x3FF
+                    cum = before_ref[g][:, r:r + 1] + local  # (Tm, W)
+                    slots = [jnp.sum((cum < s + 1).astype(jnp.int32),
+                                     axis=-1, keepdims=True)
+                             for s in range(S)]
+                    contrib = jnp.concatenate(slots, axis=-1)
+                    if sp != S:
+                        contrib = jnp.pad(contrib, ((0, 0), (0, sp - S)))
+                    pos_refs[r][...] = pos_refs[r][...] + contrib
+        return 0
+
+    lax.fori_loop(0, n_groups, phase2, 0)
+
+    # ---- finalize: CUDA tail-replication + no-hit conventions -----------
+    for r, sp in enumerate(s_pads):
+        idx = pos_refs[r][...]
+        cnt_r = cnt_all[:, r:r + 1]
+        s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, sp), dimension=1)
+        first_hit = idx[:, 0:1]
+        idx = jnp.where(s_iota < cnt_r, idx, first_hit)
+        idx = jnp.where(cnt_r > 0, idx, 0)
+        out_refs[r][0] = idx
+
+
+def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
+                              new_xyz: jax.Array, tile_m: int = 256):
+    """Large-N path of `ball_query_multi_pallas` (same results)."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    W = _GROUP_W
+    n_groups = _round_up(N, W) // W
+    n_pad = n_groups * W
+    m_pad = _round_up(M, tile_m)
+    s_pads = tuple(_round_up(s, 128) for s in nsamples)
+
+    pts = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, 0)),
+                  constant_values=1e9)
+    # (B, G, 8, W): xyz on sublanes 0..2 (padded to 8)
+    chunks = jnp.transpose(pts.reshape(B, n_groups, W, 3), (0, 1, 3, 2))
+    chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    centers = new_xyz.astype(jnp.float32)
+    if m_pad != M:
+        centers = jnp.pad(centers, ((0, 0), (0, m_pad - M), (0, 0)))
+
+    kernel = functools.partial(
+        _bq_grouped_kernel, radii2=tuple(float(r) ** 2 for r in radii),
+        nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
+        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, n_groups, 8, W), lambda b, m: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, tile_m, sp), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM) for sp in s_pads),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, m_pad, sp), jnp.int32) for sp in s_pads),
+        scratch_shapes=(
+            [pltpu.VMEM((n_groups, tile_m, W), jnp.float32),
+             pltpu.VMEM((n_groups, tile_m, 128), jnp.int32)]
+            + [pltpu.VMEM((tile_m, sp), jnp.int32) for sp in s_pads]),
+    )(chunks, centers)
+    return tuple(o[:, :M, :s] for o, s in zip(outs, nsamples))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
-                            new_xyz: jax.Array, prefix: int = 0):
+                            new_xyz: jax.Array, prefix: int = 0,
+                            grouped: bool = False):
     """Several ball queries over the same (xyz, new_xyz) pair.
 
     radii/nsamples: tuples; returns a tuple of (B, M, nsample_i) int32.
     Shares the distance tile across radii. `prefix` > 0 enables the
-    early-exit prefix scan (see module docstring); 0 = plain full scan."""
+    early-exit prefix scan (see module docstring); 0 = plain full scan.
+
+    `grouped` selects the group-bounded kernel (identical results): slot
+    extraction - the dominant cost, ~2 VPU passes per sample slot - runs
+    only over the prefix of 512-lane groups holding each center tile's
+    first-S hits. A win when center tiles are spatially coherent AND hits
+    are dense (posed-stage body queries: 52 -> 34 ms at production shapes);
+    a loss for scattered centers (FPS output: 26 -> 53 ms), so opt-in."""
+    if grouped and len(radii) <= 3 and xyz.shape[1] > 2048:
+        return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz)
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     n_pad = _round_up(N, 128)

@@ -67,11 +67,14 @@ def gather_supported(n: int, c: int) -> bool:
 
 
 @jax.jit
-def gather_rows_pallas(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """table: (B, N, C) f32, idx: (B, R) int32 in [0, N) -> (B, R, C).
+def gather_rows_pallas_cf(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table: (B, N, C) f32, idx: (B, R) int32 in [0, N) -> (B, C, R)
+    CHANNEL-FIRST: out[b, :, r] = table[b, idx[b, r], :].
 
-    out[b, r, :] = table[b, idx[b, r], :]. Forward-only (wrap in a
-    custom_vjp for differentiable consumers).
+    This is the kernel's natural output layout (channels on sublanes, rows
+    on lanes); returning it directly saves the (B, R, C) relayout copy -
+    ~1.4 GB / 3 ms per big neighbourhood gather at production shapes.
+    Forward-only (wrap in a custom_vjp for differentiable consumers).
     """
     B, N, C = table.shape
     R = idx.shape[1]
@@ -99,4 +102,14 @@ def gather_rows_pallas(table: jax.Array, idx: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, c_pad, r_pad), jnp.float32),
     )(t, ix)
-    return jnp.transpose(out[:, :C, :R], (0, 2, 1))
+    return out[:, :C, :R]
+
+
+@jax.jit
+def gather_rows_pallas(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table: (B, N, C) f32, idx: (B, R) int32 in [0, N) -> (B, R, C).
+
+    out[b, r, :] = table[b, idx[b, r], :]. Forward-only (wrap in a
+    custom_vjp for differentiable consumers).
+    """
+    return jnp.transpose(gather_rows_pallas_cf(table, idx), (0, 2, 1))

@@ -156,6 +156,55 @@ def _gather_rows_bwd(res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows_cf(points: Array, idx: Array) -> Array:
+    """points (B, N, C), idx (B, R) -> (B, C, R) CHANNEL-FIRST.
+
+    The Pallas gather kernel's natural output layout; skipping the row-major
+    relayout saves a (B, R, C)-sized copy per neighbourhood gather (the
+    biggest pure-data-movement cost of the posed forward). Backward
+    transposes the cotangent once and reuses the standard deterministic
+    scatter-add."""
+    return _gather_rows_cf_fwd_impl(points, idx)
+
+
+def _gather_rows_cf_fwd_impl(points: Array, idx: Array) -> Array:
+    B, N, C = points.shape
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.gather import (
+            gather_rows_pallas_cf,
+            gather_supported,
+        )
+
+        if gather_supported(N, C) and points.dtype == jnp.float32:
+            return gather_rows_pallas_cf(points, idx)
+    return jnp.transpose(
+        jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1),
+        (0, 2, 1))
+
+
+def _gather_rows_cf_fwd(points, idx):
+    return _gather_rows_cf_fwd_impl(points, idx), (idx, points.shape)
+
+
+def _gather_rows_cf_bwd(res, g):
+    return _gather_rows_bwd(res, jnp.transpose(g, (0, 2, 1)))
+
+
+_gather_rows_cf.defvjp(_gather_rows_cf_fwd, _gather_rows_cf_bwd)
+
+
+def group_points_cf(points: Array, idx: Array) -> Array:
+    """points: (B, N, C), idx: (B, M, S) int -> (B, C, M, S) channel-first.
+
+    Same neighbourhoods as `group_points`, in the gather kernel's native
+    layout (see `_gather_rows_cf`)."""
+    B, N, C = points.shape
+    _, M, S = idx.shape
+    flat = _gather_rows_cf(points, idx.reshape(B, M * S).astype(jnp.int32))
+    return flat.reshape(B, C, M, S)
+
+
 def gather_points(points: Array, idx: Array) -> Array:
     """points: (B, N, C), idx: (B, M) int -> (B, M, C).
 
@@ -268,10 +317,13 @@ def ball_query_multi(radii, nsamples, xyz: Array, new_xyz: Array,
 
 def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
                              features: Array, cap_frac: float = 0.72,
-                             use_pallas: Optional[bool] = None):
+                             use_pallas: Optional[bool] = None,
+                             channel_first: bool = False):
     """Fused multi-radius ball query + feature grouping with candidate
     compaction: returns a tuple of grouped features (B, M, S_i, C), exactly
-    `group_points(features, ball_query_multi(...)[i])`.
+    `group_points(features, ball_query_multi(...)[i])` - or their (B, C, M,
+    S_i) channel-first form when `channel_first` (the gather kernel's native
+    layout; saves a large relayout copy per radius).
 
     The query kernel's scan cost is linear in the point count, but only the
     points within max(radii) of ANY center can ever be selected (~50-65% of
@@ -291,10 +343,11 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
     cap = ((max(int(N * cap_frac), 256) + 127) // 128) * 128
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    group_fn = group_points_cf if channel_first else group_points
     if not use_pallas or cap >= N or N < 1024:
         idxs = ball_query_multi(radii, nsamples, xyz, new_xyz,
                                 use_pallas=use_pallas)
-        return tuple(group_points(features, i) for i in idxs)
+        return tuple(group_fn(features, i) for i in idxs)
 
     from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
     from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
@@ -319,18 +372,29 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
         # one fused gather for all radii (per-call fixed costs paid once),
         # split back into the per-radius neighbourhoods
         cat = jnp.concatenate([i.reshape(B, -1) for i in idxs], axis=1)
-        flat = _gather_rows(feats, cat)  # (B, M * sum(S), C)
         outs, off = [], 0
+        if channel_first:
+            flat = _gather_rows_cf(feats, cat)  # (B, C, M * sum(S))
+            for s in S_total:
+                outs.append(flat[:, :, off:off + M * s].reshape(B, -1, M, s))
+                off += M * s
+            return outs
+        flat = _gather_rows(feats, cat)  # (B, M * sum(S), C)
         for s in S_total:
             outs.append(flat[:, off:off + M * s, :].reshape(B, M, s, -1))
             off += M * s
         return outs
 
     def compact_branch(xyz_full, centers, feats_full, cxyz, cfeat):
+        # grouped=True: centers are garment-mesh vertices (tile-coherent)
+        # and hits are dense, the group-bounded kernel's winning regime
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            lax.stop_gradient(cxyz), centers)
-        row0 = feats_full[:, 0:1, None, :]  # (B, 1, 1, C) full-space row 0
+            lax.stop_gradient(cxyz), centers, grouped=True)
+        if channel_first:
+            row0 = feats_full[:, 0, :][:, :, None, None]  # (B, C, 1, 1)
+        else:
+            row0 = feats_full[:, 0:1, None, :]  # (B, 1, 1, C) full-space row 0
         d0 = jnp.sum((centers - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
                      axis=-1)  # (B, M) dist to compact row 0
         outs = []
@@ -340,13 +404,15 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
             # compact row 0 -> the reference gathers FULL row 0
             no_hit = jnp.logical_and(idx[:, :, 0] == 0,
                                      ~(d0 < jnp.float32(float(r) ** 2)))
-            outs.append(jnp.where(no_hit[..., None, None], row0, grouped))
+            mask = (no_hit[:, None, :, None] if channel_first
+                    else no_hit[..., None, None])
+            outs.append(jnp.where(mask, row0, grouped))
         return tuple(outs)
 
     def full_branch(xyz_full, centers, feats_full, cxyz, cfeat):
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            lax.stop_gradient(xyz_full), centers)
+            lax.stop_gradient(xyz_full), centers, grouped=True)
         return tuple(_group_all(feats_full, idxs))
 
     return lax.cond(overflow, full_branch, compact_branch,

@@ -91,7 +91,12 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
     """Returns (train_step, eval_step) for the posed stage. The canonical
     encoder's BatchNorm stays in inference mode inside the posed model
     (reference freezes its BN when --fix_PCA, `train_temporal.py:227-233`)."""
+    from garment4d_tpu.ops.graph import cyclic_diagonals
+
     weights = weights or L.LossWeights()
+    # grid/ring-ordered templates: the loss Laplacian is cyclic-banded and
+    # the V x V matmuls collapse to shifted multiply-adds (ops/graph.py)
+    lap_offsets = cyclic_diagonals(np.asarray(assets.lap_adj))
 
     def loss_fn(params, state, batch, dropout_rng):
         out, mutated = model.apply(
@@ -101,7 +106,8 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"])
         lap_adj = state.constants[LAP_ADJ_KEY]
-        loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces, weights)
+        loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces,
+                                       weights, lap_offsets=lap_offsets)
         return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -121,7 +127,8 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
             batch["pcd"], body_inputs_from_batch(batch), train=False)
         lap_adj = state.constants[LAP_ADJ_KEY]
         return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights,
-                                  valid=batch.get("valid_mask"))
+                                  valid=batch.get("valid_mask"),
+                                  lap_offsets=lap_offsets)
 
     return train_step, eval_step
 

@@ -296,3 +296,141 @@ class TestVertexNormalsKernelPath:
         vn = vn / np.clip(np.linalg.norm(vn, axis=-1, keepdims=True),
                           1e-6, None)
         np.testing.assert_allclose(vn, want, rtol=1e-4, atol=1e-5)
+
+
+class TestGroupedBallQueryKernel:
+    def test_matches_golden(self, rng):
+        """The group-bounded kernel must equal the golden oracle exactly
+        (same first-hit replication / no-hit-zero semantics) across several
+        512-lane groups, including centers whose hits are exhausted early
+        and centers with zero hits."""
+        from garment4d_tpu.ops.pallas.ball_query import (
+            _ball_query_multi_grouped,
+        )
+
+        xyz = rng.randn(2, 1200, 3).astype(np.float32) * 1.5
+        centers = np.concatenate(
+            [xyz[:, ::9][:, :120], np.full((2, 8, 3), 40.0, np.float32)],
+            axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            got = _ball_query_multi_grouped(
+                (0.3, 0.7, 1.2), (4, 8, 16), jnp.asarray(xyz),
+                jnp.asarray(centers), tile_m=64)
+        for g, (r, s) in zip(got, ((0.3, 4), (0.7, 8), (1.2, 16))):
+            want = ball_query_ref(r, s, xyz, centers)
+            np.testing.assert_array_equal(np.asarray(g), want)
+
+    def test_matches_standard_kernel(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import (
+            _ball_query_multi_grouped,
+            ball_query_multi_pallas,
+        )
+
+        xyz = rng.randn(1, 700, 3).astype(np.float32)
+        centers = xyz[:, :50] + 0.05
+        with pltpu.force_tpu_interpret_mode():
+            grouped = _ball_query_multi_grouped(
+                (0.25, 0.6), (4, 8), jnp.asarray(xyz), jnp.asarray(centers),
+                tile_m=64)
+            std = ball_query_multi_pallas(
+                (0.25, 0.6), (4, 8), jnp.asarray(xyz), jnp.asarray(centers))
+        for g, s in zip(grouped, std):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+
+class TestChannelFirstGather:
+    def test_cf_matches_row_major(self, rng):
+        from garment4d_tpu.ops.pallas.gather import (
+            gather_rows_pallas,
+            gather_rows_pallas_cf,
+        )
+
+        table = rng.randn(2, 300, 19).astype(np.float32)
+        idx = rng.randint(0, 300, (2, 257)).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            cf = np.asarray(gather_rows_pallas_cf(jnp.asarray(table),
+                                                  jnp.asarray(idx)))
+            rm = np.asarray(gather_rows_pallas(jnp.asarray(table),
+                                               jnp.asarray(idx)))
+        np.testing.assert_array_equal(cf.transpose(0, 2, 1), rm)
+
+    def test_group_points_cf_fwd_bwd(self, rng):
+        """group_points_cf must equal transpose(group_points) in value and
+        produce the identical (deterministic) gradient."""
+        from garment4d_tpu import ops
+
+        pts = rng.randn(2, 90, 7).astype(np.float32)
+        idx = rng.randint(0, 90, (2, 20, 5)).astype(np.int32)
+
+        def f_cf(p):
+            return jnp.sum(ops.group_points_cf(p, jnp.asarray(idx)) ** 2)
+
+        def f_rm(p):
+            return jnp.sum(ops.group_points(p, jnp.asarray(idx)) ** 2)
+
+        v_cf = np.asarray(ops.group_points_cf(jnp.asarray(pts),
+                                              jnp.asarray(idx)))
+        v_rm = np.asarray(ops.group_points(jnp.asarray(pts),
+                                           jnp.asarray(idx)))
+        np.testing.assert_array_equal(v_cf.transpose(0, 2, 3, 1), v_rm)
+        g_cf = np.asarray(jax.grad(f_cf)(jnp.asarray(pts)))
+        g_rm = np.asarray(jax.grad(f_rm)(jnp.asarray(pts)))
+        np.testing.assert_allclose(g_cf, g_rm, rtol=1e-6)
+
+
+class TestBandedGraphMatmul:
+    def _banded_adj(self, rng, v, offsets):
+        adj = np.zeros((v, v), np.float32)
+        for o in offsets:
+            i = np.arange(v)
+            adj[i, (i + o) % v] = rng.rand(v).astype(np.float32)
+        return adj
+
+    def test_kernel_matches_dense(self, rng):
+        from garment4d_tpu.ops.pallas.banded import banded_matmul_pallas
+
+        v, c, b = 37, 5, 2
+        offsets = (0, 1, 7, 30, 36)
+        adj = self._banded_adj(rng, v, offsets)
+        x = rng.randn(b, v, c).astype(np.float32)
+        i = np.arange(v)
+        vals = np.stack([adj[i, (i + o) % v] for o in offsets])
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(banded_matmul_pallas(
+                jnp.asarray(vals), jnp.asarray(x), offsets, v))
+        want = np.einsum("vw,bwc->bvc", adj, x)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_graph_matmul_banded_value_and_grad(self, rng):
+        """graph_matmul_banded == dense graph_matmul in value and x-grad
+        (the roll fallback path on CPU)."""
+        from garment4d_tpu.ops.graph import (
+            cyclic_diagonals,
+            graph_matmul,
+            graph_matmul_banded,
+        )
+
+        v, c = 41, 6
+        adj = self._banded_adj(rng, v, (0, 1, 5, 36, 40))
+        offs = cyclic_diagonals(adj)
+        assert offs == (0, 1, 5, 36, 40)
+        x = rng.randn(3, 4, v, c).astype(np.float32)
+        dense = np.asarray(graph_matmul(jnp.asarray(adj), jnp.asarray(x)))
+        band = np.asarray(
+            graph_matmul_banded(jnp.asarray(adj), jnp.asarray(x), offs))
+        np.testing.assert_allclose(band, dense, rtol=1e-5, atol=1e-6)
+
+        g = rng.randn(*x.shape).astype(np.float32)
+        gd = jax.grad(lambda xx: jnp.sum(
+            graph_matmul(jnp.asarray(adj), xx) * g))(jnp.asarray(x))
+        gb = jax.grad(lambda xx: jnp.sum(
+            graph_matmul_banded(jnp.asarray(adj), xx, offs) * g))(
+                jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_irregular_returns_none(self, rng):
+        from garment4d_tpu.ops.graph import cyclic_diagonals
+
+        adj = (rng.rand(64, 64) < 0.3).astype(np.float32)
+        assert cyclic_diagonals(adj) is None
