@@ -75,17 +75,13 @@ class SplitQueryGroupPE(nn.Module):
         def core(xyz, new_xyz, features, k0, b0, k1, b1):
             proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
             packed = jnp.concatenate([xyz, proj], axis=-1)
-            # channel-first grouping: the gather kernel's native layout, so
-            # the (B, M, S, C)-sized relayout copy never materialises; the
-            # MLP einsums run channel-first and only the small (B, M, F)
-            # result is transposed back
-            grouped = ops.group_points_cf(packed, idx)  # (B, 3+F, M, S)
-            rel = grouped[:, :3] - jnp.transpose(new_xyz, (0, 2, 1))[..., None]
-            h = (jnp.einsum("bcms,cf->bfms", rel, k0[:3]) + grouped[:, 3:]
-                 + b0[None, :, None, None])
-            h = jax.nn.relu(h)
-            h = jnp.einsum("bfms,fg->bgms", h, k1) + b1[None, :, None, None]
-            return jnp.transpose(jnp.max(h, axis=-1), (0, 2, 1))  # (B, M, F)
+            # fused gather + MLP + max (ops/pallas/fusedpe.py): the grouped
+            # (B, 3+F, M, S) neighbourhoods never exist in HBM. The packed
+            # table's proj channels pass through MLP1 via an identity block
+            # stacked under k0's xyz rows.
+            kfull = jnp.concatenate(
+                [k0[:3], jnp.eye(self.feat_num, dtype=k0.dtype)], axis=0)
+            return ops.group_pe_max(packed, idx, new_xyz, kfull, b0, k1, b1)
 
         if self.remat:
             core = jax.checkpoint(core)
@@ -246,43 +242,25 @@ class PosedGarmentModel(nn.Module):
         ]
 
         cur_garment_v = lbs.posed_garment.reshape(BT, Vg, 3)
-        # body xyz and normals packed once: one wide gather per query instead
-        # of separate xyz + feature gathers
-        body_packed = jnp.concatenate([body_v, body_vn], axis=-1)
         iter_results = []
         hidden_feats = []  # per-iteration 128-d feature after the 3rd GCN layer
         for it in range(self.iterations):
             pe_list = [cur_garment_v]
-            # one fused multi-radius query + grouping: the distance tile is
-            # shared across the 3 body radii, and the scan runs over the
-            # candidate-compacted body point set (points within the largest
-            # radius of any garment vertex, typically ~55-65% of the body)
-            # with an exact full-space fallback on overflow. No prefix
-            # early-exit: in-radius hits are scattered across the SMPL index
-            # range (measured: with a 2048-point prefix 100% of center tiles
-            # still rescanned), so a full scan over the compact set wins.
-            def body_block(cur_v, body_v, body_packed, pe_params):
-                # channel-first grouping (see SplitQueryGroupPE.core)
-                grouped_all = ops.query_group_pruned_multi(
+            # candidate-compacted multi-radius query feeding the fused
+            # gather+MLP+max kernel: the distance tile is shared across the
+            # 3 body radii, the scan runs over the compacted body point set
+            # (points within the largest radius of any garment vertex,
+            # ~55-65% of the body, exact full-space cond fallback), and the
+            # grouped neighbourhoods never materialise in HBM
+            # (ops/pemax.py, ops/pallas/fusedpe.py).
+            def body_block(cur_v, body_v, body_vn, pe_params):
+                return ops.query_group_pe_multi(
                     r["body_radius"], r["body_nsample"],
-                    body_v, cur_v, body_packed, channel_first=True)
-                cur_cf = jnp.transpose(cur_v, (0, 2, 1))[..., None]
-                pes = []
-                for grouped, (k0, b0, k1, b1) in zip(grouped_all, pe_params):
-                    rel = grouped[:, :3] - cur_cf  # (BT, 3, Vg, S)
-                    qg = jnp.concatenate([rel, grouped[:, 3:]], axis=1)
-                    h = jax.nn.relu(
-                        jnp.einsum("bcms,cf->bfms", qg, k0)
-                        + b0[None, :, None, None])
-                    h = (jnp.einsum("bfms,fg->bgms", h, k1)
-                         + b1[None, :, None, None])
-                    pes.append(jnp.transpose(jnp.max(h, axis=-1),
-                                             (0, 2, 1)))  # (BT, Vg, 32)
-                return tuple(pes)
+                    body_v, cur_v, body_vn, pe_params)
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)
-            pe_list.extend(body_block(cur_garment_v, body_v, body_packed,
+            pe_list.extend(body_block(cur_garment_v, body_v, body_vn,
                                       body_pe_params))
             for i in range(3):
                 pe = garment_pes[i](garment_xyz[i], cur_garment_v,

@@ -43,7 +43,8 @@ class ConvBNRelu(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def _affine(self, x: Array, train: bool) -> Array:
+        """Dense + BN without the ReLU (the affine part of the block)."""
         use_bias = self.bias if self.bias is not None else not self.bn
         x = nn.Dense(
             self.features,
@@ -61,9 +62,24 @@ class ConvBNRelu(nn.Module):
                 dtype=self.dtype,
                 name="bn",
             )(x)
+        return x
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = self._affine(x, train)
         if self.relu:
             x = jax.nn.relu(x)
         return x
+
+    def folded(self, c_in: int):
+        """Eval-mode (W', b') with BN folded into the matmul: the block's
+        affine part == x @ W' + b' under running-stats BN. Probes the real
+        conv/bn modules with a basis matrix, so the parameter tree (and the
+        torch-ckpt key mapping) is untouched."""
+        probe = jnp.concatenate(
+            [jnp.eye(c_in, dtype=jnp.float32),
+             jnp.zeros((1, c_in), jnp.float32)], axis=0)
+        out = self._affine(probe, False)  # (c_in + 1, features)
+        return out[:c_in] - out[c_in:c_in + 1], out[c_in]
 
 
 class SharedMLP(nn.Module):
@@ -79,11 +95,32 @@ class SharedMLP(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        for i, w in enumerate(self.widths):
-            x = ConvBNRelu(w, bn=self.bn, bn_axis_name=self.bn_axis_name,
-                           dtype=self.dtype, name=f"layer{i}")(x, train=train)
+    def _run(self, x, train: bool, fold_c_in=None):
+        blocks = [
+            ConvBNRelu(w, bn=self.bn, bn_axis_name=self.bn_axis_name,
+                       dtype=self.dtype, name=f"layer{i}")
+            for i, w in enumerate(self.widths)
+        ]
+        if fold_c_in is not None:
+            weights, biases = [], []
+            cur = fold_c_in
+            for block, w in zip(blocks, self.widths):
+                wf, bf = block.folded(cur)
+                weights.append(wf)
+                biases.append(bf)
+                cur = w
+            return tuple(weights), tuple(biases)
+        for block in blocks:
+            x = block(x, train=train)
         return x
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        return self._run(x, train)
+
+    def folded(self, c_in: int):
+        """Per-layer eval-mode (W', b') lists with BN folded (see
+        `ConvBNRelu.folded`); every layer of the stack is ReLU'd."""
+        return self._run(None, False, fold_c_in=c_in)
 
 
 class MLP(nn.Module):

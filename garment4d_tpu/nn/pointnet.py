@@ -48,18 +48,41 @@ class SAModuleMSG(nn.Module):
             idx = ops.furthest_point_sample(xyz, self.npoint)
             new_xyz = ops.gather_points(xyz, idx)
 
+        # eval-mode fusion: with running-stats BN each ConvBNRelu is a
+        # folded affine + ReLU, so the whole scale (gather, rel-xyz, MLP
+        # stack, sample max) runs as one VMEM-resident kernel and the
+        # (B, M, S, C) neighbourhoods never reach HBM (ops/pallas/fusedpe.py).
+        # TPU-only so the CPU path keeps the reference op-for-op numerics.
+        from garment4d_tpu.ops.pallas.fusedpe import chain_supported
+
+        fuse_ok = (not train and self.bn and self.dtype is None
+                   and self.use_xyz and self.npoint is not None
+                   and jax.default_backend() == "tpu")
+        c_in = 3 + (features.shape[-1] if features is not None else 0)
+
         outs = []
         for i in range(len(self.mlps)):
+            mlp = SharedMLP(self.mlps[i], bn=self.bn,
+                            bn_axis_name=self.bn_axis_name,
+                            dtype=self.dtype, name=f"mlp{i}")
+            if (fuse_ok and chain_supported(xyz.shape[1], c_in,
+                                            self.nsamples[i],
+                                            tuple(self.mlps[i]))):
+                ws, bs = mlp.folded(c_in)
+                qidx = ops.ball_query(self.radii[i], self.nsamples[i],
+                                      xyz, new_xyz)
+                table = (jnp.concatenate([xyz, features], axis=-1)
+                         if features is not None else xyz)
+                outs.append(ops.group_chain_max(
+                    table, qidx, new_xyz, ws, bs, (True,) * len(ws)))
+                continue
             if self.npoint is not None:
                 grouped = ops.query_and_group(
                     self.radii[i], self.nsamples[i], xyz, new_xyz, features,
                     use_xyz=self.use_xyz)  # (B, M, S, 3+C)
             else:
                 grouped = ops.group_all(xyz, features, use_xyz=self.use_xyz)
-            feat = SharedMLP(self.mlps[i], bn=self.bn,
-                             bn_axis_name=self.bn_axis_name,
-                             dtype=self.dtype,
-                             name=f"mlp{i}")(grouped, train=train)
+            feat = mlp(grouped, train=train)
             outs.append(jnp.max(feat, axis=2))  # max over samples
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

@@ -2,6 +2,11 @@
 extension (reference `modules/pointnet2/pointnet2/src/`, SURVEY.md section 2.1).
 """
 
+from garment4d_tpu.ops.pemax import (
+    group_chain_max,
+    group_pe_max,
+    query_group_pe_multi,
+)
 from garment4d_tpu.ops.pointcloud import (
     KnnResult,
     ball_query,
@@ -44,6 +49,9 @@ __all__ = [
     "group_all",
     "group_points",
     "group_points_cf",
+    "group_chain_max",
+    "group_pe_max",
+    "query_group_pe_multi",
     "interp_weights_from_dists",
     "knn_points",
     "pairwise_sqdist",

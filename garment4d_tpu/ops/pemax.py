@@ -1,0 +1,255 @@
+"""Fused query-group positional-encoding blocks.
+
+`group_pe_max` computes the posed stage's PE pattern - gather S neighbours,
+subtract the center, 2-layer MLP, max over neighbours - as one VMEM-resident
+Pallas pass (`ops/pallas/fusedpe.py`), with a pure-XLA reference formulation
+for CPU and for the custom_vjp backward (recompute, the same trade
+`jax.checkpoint` makes for these blocks).
+
+`query_group_pe_multi` is the body-query front end: candidate-compacted
+multi-radius ball query (as `ops.pointcloud.query_group_pruned_multi`)
+feeding straight into the fused PE blocks, so the (B, C, M, S) grouped
+neighbourhoods never exist in HBM at all.
+
+Reference behaviour being replaced: `QueryAndGroup` + PE-MLP + `max`
+(`modules/mesh_encoder.py:197-258,451-464`); CUDA `group_points_wrapper`
+(`modules/pointnet2/pointnet2/src/group_points_gpu.cu`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def _pe_reference(table: Array, idx: Array, centers: Array, k0: Array,
+                  b0: Array, k1: Array, b1: Array) -> Array:
+    """Unfused formulation (differentiable; used on CPU and in backward).
+
+    table (B, N, C); idx (B, M, S); centers (B, M, 3) -> (B, M, G) =
+    max_s (relu((table[idx_s] - pad(centers)) @ k0 + b0) @ k1 + b1)."""
+    from garment4d_tpu.ops.pointcloud import _gather_rows
+
+    B, N, C = table.shape
+    M, S = idx.shape[1:]
+    # _gather_rows: Pallas row gather on TPU (the backward recompute path
+    # would otherwise pay XLA's ~7 ns/row gather), deterministic
+    # MXU-scatter-add for the table gradient
+    flat = _gather_rows(table, idx.reshape(B, M * S).astype(jnp.int32))
+    g = flat.reshape(B, M, S, C)
+    ctr = jnp.pad(centers, ((0, 0), (0, 0), (0, C - 3)))
+    qg = g - ctr[:, :, None, :]
+    h = jax.nn.relu(jnp.einsum("bmsc,cf->bmsf", qg, k0) + b0)
+    h2 = jnp.einsum("bmsf,fg->bmsg", h, k1) + b1
+    return jnp.max(h2, axis=2)
+
+
+def _pe_impl(table, idx, centers, k0, b0, k1, b1):
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            group_pe_max_pallas,
+            pe_supported,
+        )
+
+        if (pe_supported(table.shape[1], table.shape[2], idx.shape[2])
+                and table.dtype == jnp.float32):
+            return group_pe_max_pallas(table, idx, centers, k0, b0, k1, b1,
+                                       int(idx.shape[2]))
+    return _pe_reference(table, idx, centers, k0, b0, k1, b1)
+
+
+@jax.custom_vjp
+def group_pe_max(table: Array, idx: Array, centers: Array, k0: Array,
+                 b0: Array, k1: Array, b1: Array) -> Array:
+    """Fused gather + (relu((x - c) @ k0 + b0) @ k1 + b1) + max over S.
+
+    table (B, N, C) source rows (xyz on channels 0..2); idx (B, M, S) int
+    neighbour rows; centers (B, M, 3); k0 (C, F); b0 (F,); k1 (F, G);
+    b1 (G,) -> (B, M, G). Differentiable in everything but idx; the
+    backward recomputes the unfused formulation (max subgradient to the
+    recomputed argmax slot, gathers' grad = deterministic scatter-add)."""
+    return _pe_impl(table, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_fwd(table, idx, centers, k0, b0, k1, b1):
+    out = _pe_impl(table, idx, centers, k0, b0, k1, b1)
+    return out, (table, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_bwd(res, g):
+    table, idx, centers, k0, b0, k1, b1 = res
+    _, vjp = jax.vjp(
+        lambda t, c, a0, a1, a2, a3: _pe_reference(t, idx, c, a0, a1, a2, a3),
+        table, centers, k0, b0, k1, b1)
+    dt, dc, dk0, db0, dk1, db1 = vjp(g)
+    return dt, None, dc, dk0, db0, dk1, db1
+
+
+group_pe_max.defvjp(_pe_fwd, _pe_bwd)
+
+
+def _chain_reference(table: Array, idx: Array, centers: Array, weights,
+                     biases, relus) -> Array:
+    """Unfused L-layer chain formulation (CPU path / backward recompute)."""
+    from garment4d_tpu.ops.pointcloud import _gather_rows
+
+    B, N, C = table.shape
+    M, S = idx.shape[1:]
+    flat = _gather_rows(table, idx.reshape(B, M * S).astype(jnp.int32))
+    h = flat.reshape(B, M, S, C)
+    ctr = jnp.pad(centers, ((0, 0), (0, 0), (0, C - 3)))
+    h = h - ctr[:, :, None, :]
+    for w, b, r in zip(weights, biases, relus):
+        h = jnp.einsum("bmsc,cf->bmsf", h, w) + b
+        if r:
+            h = jax.nn.relu(h)
+    return jnp.max(h, axis=2)
+
+
+def _chain_impl(table, idx, centers, weights, biases, relus):
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            chain_supported,
+            fused_chain_pallas,
+        )
+
+        if (chain_supported(table.shape[1], table.shape[2], idx.shape[2],
+                            tuple(w.shape[1] for w in weights))
+                and table.dtype == jnp.float32):
+            return fused_chain_pallas(table, idx, centers, tuple(weights),
+                                      tuple(biases), tuple(relus),
+                                      int(idx.shape[2]))
+    return _chain_reference(table, idx, centers, weights, biases, relus)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def group_chain_max(table: Array, idx: Array, centers: Array, weights,
+                    biases, relus) -> Array:
+    """Fused gather + L-layer MLP chain + max over S (the SA-module eval
+    pattern; `group_pe_max` is the 2-layer PE special case).
+
+    weights: sequence of (C_{i-1}, C_i); biases: (C_i,); relus: static
+    per-layer bool tuple. Differentiable in everything but idx via
+    reference recompute."""
+    return _chain_impl(table, idx, centers, weights, biases, relus)
+
+
+def _chain_fwd(table, idx, centers, weights, biases, relus):
+    out = _chain_impl(table, idx, centers, weights, biases, relus)
+    return out, (table, idx, centers, weights, biases)
+
+
+def _chain_bwd(relus, res, g):
+    table, idx, centers, weights, biases = res
+    _, vjp = jax.vjp(
+        lambda t, c, w, b: _chain_reference(t, idx, c, w, b, relus),
+        table, centers, weights, biases)
+    dt, dc, dw, db = vjp(g)
+    return dt, None, dc, dw, db
+
+
+group_chain_max.defvjp(_chain_fwd, _chain_bwd)
+
+
+def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
+                         xyz: Array, new_xyz: Array, features: Array,
+                         pe_params: Sequence, cap_frac: float = 0.72,
+                         use_pallas=None):
+    """Candidate-compacted multi-radius ball query + fused PE blocks.
+
+    Returns a tuple of (B, M, G_i) PE features, exactly
+    `max_s MLP_i(concat(rel_xyz, feat))` over
+    `group_points(features, ball_query_multi(...)[i])` per radius -
+    including the reference's full-space-row-0 no-hit convention.
+    pe_params[i] = (k0, b0, k1, b1) with k0 (3 + C, F).
+
+    Structure mirrors `ops.pointcloud.query_group_pruned_multi` (coverage
+    kernel -> order-preserving compaction -> exact no-hit fixup, cond
+    fallback to the full point set on candidate overflow), but the grouped
+    neighbourhoods feed the fused PE kernel instead of materialising.
+    """
+    from garment4d_tpu.ops.pointcloud import ball_query_multi
+
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    S_total = tuple(int(s) for s in nsamples)
+    packed = jnp.concatenate([xyz, features], axis=-1)
+
+    def pe_all(table, idxs, centers):
+        outs = []
+        for idx, (k0, b0, k1, b1) in zip(idxs, pe_params):
+            outs.append(group_pe_max(table, idx, centers, k0, b0, k1, b1))
+        return outs
+
+    def no_hit_fix(outs, idxs, row0, centers, cdist0):
+        """Reference parity: centers with zero in-radius hits gather
+        full-space row 0 (CUDA idx prefill). `row0` (B, C) is that row;
+        `cdist0` (B, M) the squared distance to the scanned row 0."""
+        C = row0.shape[-1]
+        ctr = jnp.pad(centers, ((0, 0), (0, 0), (0, C - 3)))
+        qg0 = row0[:, None, :] - ctr  # (B, M, C)
+        fixed = []
+        for out, idx, r, (k0, b0, k1, b1) in zip(outs, idxs, radii, pe_params):
+            no_hit = jnp.logical_and(idx[:, :, 0] == 0,
+                                     ~(cdist0 < jnp.float32(float(r) ** 2)))
+            h0 = jax.nn.relu(jnp.einsum("bmc,cf->bmf", qg0, k0) + b0)
+            h0 = jnp.einsum("bmf,fg->bmg", h0, k1) + b1
+            fixed.append(jnp.where(no_hit[..., None], h0, out))
+        return tuple(fixed)
+
+    cap = ((max(int(N * cap_frac), 256) + 127) // 128) * 128
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas or cap >= N or N < 1024:
+        idxs = ball_query_multi(radii, S_total, xyz, new_xyz,
+                                use_pallas=use_pallas)
+        return tuple(pe_all(packed, idxs, new_xyz))
+
+    from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+    from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
+    from garment4d_tpu.ops.pointcloud import _gather_rows
+
+    # order-preserving candidate compaction, identical to
+    # `query_group_pruned_multi` (pointcloud.py)
+    xyz_s = lax.stop_gradient(xyz)
+    cent_s = lax.stop_gradient(new_xyz)
+    r_max = float(max(radii))
+    cover = covered_mask_pallas(xyz_s, cent_s, r_max)  # (B, N) int32
+    overflow = jnp.any(jnp.sum(cover, axis=1) > cap)
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
+    compact_idx = lax.sort(keys, dimension=1)[:, :cap]
+    valid = compact_idx < N
+    safe_idx = jnp.where(valid, compact_idx, 0)
+    cxyz = _gather_rows(xyz, safe_idx)
+    cxyz = jnp.where(valid[..., None], cxyz, jnp.float32(1e9))
+    cpacked = _gather_rows(packed, safe_idx)
+
+    def compact_branch(xyz_full, centers, packed_full, cxyz, cpacked):
+        # queries/masks are non-diff: centers enter them stop-gradiented so
+        # autodiff never tries to JVP the query kernels; the differentiable
+        # center path is the rel-xyz subtraction inside group_pe_max
+        ctr_s = lax.stop_gradient(centers)
+        idxs = ball_query_multi_pallas(
+            tuple(float(r) for r in radii), S_total,
+            lax.stop_gradient(cxyz), ctr_s, grouped=True)
+        outs = pe_all(cpacked, idxs, centers)
+        d0 = jnp.sum((ctr_s - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
+                     axis=-1)
+        return no_hit_fix(outs, idxs, packed_full[:, 0, :], centers, d0)
+
+    def full_branch(xyz_full, centers, packed_full, cxyz, cpacked):
+        idxs = ball_query_multi_pallas(
+            tuple(float(r) for r in radii), S_total,
+            lax.stop_gradient(xyz_full), lax.stop_gradient(centers),
+            grouped=True)
+        return tuple(pe_all(packed_full, idxs, centers))
+
+    return lax.cond(overflow, full_branch, compact_branch,
+                    xyz, new_xyz, packed, cxyz, cpacked)

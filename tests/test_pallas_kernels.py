@@ -434,3 +434,138 @@ class TestBandedGraphMatmul:
 
         adj = (rng.rand(64, 64) < 0.3).astype(np.float32)
         assert cyclic_diagonals(adj) is None
+
+
+class TestFusedPEKernel:
+    def _params(self, rng, c, f=32):
+        return (rng.randn(c, f).astype(np.float32) * 0.2,
+                rng.randn(f).astype(np.float32),
+                rng.randn(f, f).astype(np.float32) * 0.2,
+                rng.randn(f).astype(np.float32))
+
+    def test_matches_reference(self, rng):
+        """Fused gather+MLP+max kernel == unfused formulation, for the body
+        (C=6) and garment (C=35) channel layouts and several S."""
+        from garment4d_tpu.ops.pallas.fusedpe import group_pe_max_pallas
+        from garment4d_tpu.ops.pemax import _pe_reference
+
+        B, N, M = 2, 300, 140
+        ctr = rng.randn(B, M, 3).astype(np.float32)
+        for c, s in ((6, 32), (35, 8), (6, 16)):
+            table = rng.randn(B, N, c).astype(np.float32)
+            idx = rng.randint(0, N, (B, M, s)).astype(np.int32)
+            k0, b0, k1, b1 = self._params(rng, c)
+            args = tuple(jnp.asarray(a)
+                         for a in (table, idx, ctr, k0, b0, k1, b1))
+            want = np.asarray(_pe_reference(*args))
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(group_pe_max_pallas(*args, s))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_group_pe_max_grad(self, rng):
+        """custom_vjp backward == autodiff of the reference formulation."""
+        from garment4d_tpu.ops.pemax import _pe_reference, group_pe_max
+
+        B, N, C, M, S = 2, 90, 6, 40, 8
+        table = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, N, (B, M, S)).astype(np.int32))
+        ctr = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        k0, b0, k1, b1 = (jnp.asarray(a) for a in self._params(rng, C))
+
+        def loss(fn, t, c, w):
+            return jnp.sum(fn(t, idx, c, w, b0, k1, b1) ** 2)
+
+        g_fused = jax.grad(lambda *a: loss(group_pe_max, *a),
+                           argnums=(0, 1, 2))(table, ctr, k0)
+        g_ref = jax.grad(lambda *a: loss(_pe_reference, *a),
+                         argnums=(0, 1, 2))(table, ctr, k0)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_query_group_pe_multi_matches_unfused(self, rng):
+        """The fused body-query front end == query + group + PE math,
+        including no-hit centers (full-space row-0 convention)."""
+        from garment4d_tpu import ops
+
+        B, N, M = 2, 200, 60
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.3
+        vn = rng.randn(B, N, 3).astype(np.float32)
+        ctr = np.concatenate(
+            [xyz[:, ::4][:, :50], np.full((B, 10, 3), 30.0, np.float32)],
+            axis=1)
+        radii, ss = (0.2, 0.5), (4, 8)
+        params = [tuple(jnp.asarray(a) for a in self._params(rng, 6))
+                  for _ in ss]
+        got = ops.query_group_pe_multi(
+            radii, ss, jnp.asarray(xyz), jnp.asarray(ctr), jnp.asarray(vn),
+            params, use_pallas=False)
+        packed = np.concatenate([xyz, vn], axis=-1)
+        for g, r, s, (k0, b0, k1, b1) in zip(got, radii, ss, params):
+            idx = np.asarray(ops.ball_query(r, s, jnp.asarray(xyz),
+                                            jnp.asarray(ctr)))
+            rows = np.take_along_axis(
+                packed, idx.reshape(B, -1, 1), axis=1).reshape(B, -1, s, 6)
+            ctr_pad = np.concatenate(
+                [ctr, np.zeros((B, ctr.shape[1], 3), np.float32)], axis=-1)
+            qg = rows - ctr_pad[:, :, None, :]
+            h = np.maximum(
+                np.einsum("bmsc,cf->bmsf", qg, np.asarray(k0))
+                + np.asarray(b0), 0.0)
+            want = np.max(
+                np.einsum("bmsf,fg->bmsg", h, np.asarray(k1))
+                + np.asarray(b1), axis=2)
+            np.testing.assert_allclose(np.asarray(g), want,
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestFusedChainKernel:
+    def test_chain_matches_reference(self, rng):
+        """L-layer fused chain (the eval-mode SA pattern) == unfused."""
+        from garment4d_tpu.ops.pallas.fusedpe import fused_chain_pallas
+        from garment4d_tpu.ops.pemax import _chain_reference
+
+        B, N, C, M, S = 2, 260, 9, 70, 16
+        widths = (16, 16, 32)
+        table = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, N, (B, M, S)).astype(np.int32))
+        ctr = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        ws, bs, cur = [], [], C
+        for w in widths:
+            ws.append(jnp.asarray(rng.randn(cur, w).astype(np.float32) * 0.3))
+            bs.append(jnp.asarray(rng.randn(w).astype(np.float32) * 0.1))
+            cur = w
+        relus = (True,) * len(widths)
+        want = np.asarray(_chain_reference(table, idx, ctr, tuple(ws),
+                                           tuple(bs), relus))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_chain_pallas(table, idx, ctr, tuple(ws),
+                                                tuple(bs), relus, S))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_folded_sa_matches_unfused_module(self, rng):
+        """SAModuleMSG's fused eval path (BN folding + chain kernel) ==
+        the unfused module, end to end in interpret mode."""
+        import garment4d_tpu.nn.pointnet as pn
+        from garment4d_tpu.nn.pointnet import SAModuleMSG
+        import garment4d_tpu.ops.pemax as pemax
+
+        B, N = 2, 260
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.4)
+        feats = jnp.asarray(rng.randn(B, N, 6).astype(np.float32))
+        mod = SAModuleMSG(npoint=64, radii=[0.3, 0.6], nsamples=[8, 16],
+                          mlps=[[16, 32], [16, 32]])
+        v = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        want_xyz, want = mod.apply(v, xyz, feats, train=False)
+
+        # emulate the TPU path: force fuse_ok on, kernels run interpreted
+        orig_backend = jax.default_backend
+        try:
+            jax.default_backend = lambda: "tpu"
+            with pltpu.force_tpu_interpret_mode():
+                got_xyz, got = mod.apply(v, xyz, feats, train=False)
+        finally:
+            jax.default_backend = orig_backend
+        np.testing.assert_allclose(np.asarray(got_xyz), np.asarray(want_xyz))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
