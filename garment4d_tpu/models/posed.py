@@ -23,7 +23,7 @@ from garment4d_tpu import ops
 from garment4d_tpu.models.assets import GarmentAssets
 from garment4d_tpu.models.canonical import CanonicalGarmentModel, CanonicalOutput
 from garment4d_tpu.models.skinning import LbsResult, lbs_garment_interpolation
-from garment4d_tpu.nn import GraphConvolution
+from garment4d_tpu.nn import GraphConvolution  # noqa: F401 (re-export for compat)
 
 Array = jax.Array
 
@@ -70,6 +70,9 @@ class SplitQueryGroupPE(nn.Module):
     def __call__(self, xyz: Array, new_xyz: Array, features: Array) -> Array:
         k0, b0 = _DenseParams(self.in_features, self.feat_num, name="linear0")()
         k1, b1 = _DenseParams(self.feat_num, self.feat_num, name="linear1")()
+        # (measured: grouped=True loses here - the stage-1 garment points'
+        # hit density at r=0.1 rarely fills the S-slot quota, so the
+        # group bound degenerates to the full scan plus overhead)
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
 
         def core(xyz, new_xyz, features, k0, b0, k1, b1):
@@ -86,6 +89,27 @@ class SplitQueryGroupPE(nn.Module):
         if self.remat:
             core = jax.checkpoint(core)
         return core(xyz, new_xyz, features, k0, b0, k1, b1)
+
+
+class _GCNParams(nn.Module):
+    """Parameter container with GraphConvolution-compatible tree names
+    (weight/bias, U(-1/sqrt(F), 1/sqrt(F)) init), so the per-iteration GCN
+    refinement stack can run as the fused `ops.gcn_stack` op (one
+    VMEM-resident Pallas pass on TPU) without changing the parameter tree or
+    the torch-ckpt key mapping."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        stdv = 1.0 / (self.features ** 0.5)
+
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        return (self.param("weight", init, (self.in_features, self.features)),
+                self.param("bias", init, (self.features,)))
 
 
 class _PEParams(nn.Module):
@@ -229,15 +253,15 @@ class PosedGarmentModel(nn.Module):
             nn.Dense(self.hidden_dim * 3, use_bias=False, name=f"temporal_qkv{i}")
             for i in range(self.iterations - 1)
         ]
-        gcn_stacks = [
-            [GraphConvolution(self.hidden_dim, diag_offsets=diag_offsets,
-                              name=f"gcn{r_}_0"),
-             GraphConvolution(self.hidden_dim, diag_offsets=diag_offsets,
-                              name=f"gcn{r_}_1"),
-             GraphConvolution(self.hidden_dim, diag_offsets=diag_offsets,
-                              name=f"gcn{r_}_2"),
-             GraphConvolution(3, diag_offsets=diag_offsets,
-                              name=f"gcn{r_}_3")]
+        pe_width = 3 + 6 * self.feat_num
+        gcn_params = [
+            [_GCNParams(pe_width + (self.hidden_dim if r_ > 0 else 0),
+                        self.hidden_dim, name=f"gcn{r_}_0")(),
+             _GCNParams(self.hidden_dim, self.hidden_dim,
+                        name=f"gcn{r_}_1")(),
+             _GCNParams(self.hidden_dim, self.hidden_dim,
+                        name=f"gcn{r_}_2")(),
+             _GCNParams(self.hidden_dim, 3, name=f"gcn{r_}_3")()]
             for r_ in range(self.iterations)
         ]
 
@@ -283,13 +307,16 @@ class PosedGarmentModel(nn.Module):
                 mixed = mixed.reshape(BT, Vg, self.hidden_dim)
                 feat = jnp.concatenate([feat, mixed], axis=-1)
 
-            h = feat
-            for li, layer in enumerate(gcn_stacks[it]):
-                h = layer(h, adj)
-                if li != len(gcn_stacks[it]) - 1:
-                    h = jax.nn.relu(h)
-                if li == len(gcn_stacks[it]) - 2:
-                    hidden_feats.append(h)  # the 128-d feature temporal attn reads
+            # the whole 4-layer stack as one fused op (TPU: a single
+            # VMEM-resident Pallas pass; CPU: the layer-by-layer reference
+            # formulation). `hidden` = the post-ReLU 3rd-layer feature the
+            # next iteration's temporal attention reads.
+            ws = tuple(w for w, _ in gcn_params[it])
+            bs = tuple(b for _, b in gcn_params[it])
+            h, hidden = ops.gcn_stack(
+                feat, ws, bs, adj, diag_offsets,
+                (True, True, True, False), 2)
+            hidden_feats.append(hidden)
             cur_garment_v = cur_garment_v + h
             iter_results.append(cur_garment_v.reshape(B, T, Vg, 3))
 

@@ -33,6 +33,7 @@ from garment4d_tpu.ops.meshmath import (
 from garment4d_tpu.ops.graph import (
     build_mesh_adjacency,
     gcn_adjacency,
+    gcn_stack,
     graph_matmul,
     laplacian_adjacency,
     row_normalize,
@@ -64,6 +65,7 @@ __all__ = [
     "vertex_normals",
     "build_mesh_adjacency",
     "gcn_adjacency",
+    "gcn_stack",
     "graph_matmul",
     "laplacian_adjacency",
     "row_normalize",

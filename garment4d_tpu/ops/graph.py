@@ -187,3 +187,90 @@ def _banded_apply_bwd(offsets, res, g):
 
 
 _banded_apply.defvjp(_banded_apply_fwd, _banded_apply_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused GCN stack
+# ---------------------------------------------------------------------------
+
+
+def _gcn_stack_ref(x, weights, biases, adj, offsets, relus, hidden_layer):
+    """Unfused stack (reference `modules/pygcn/layers.py:44-58` applied per
+    layer, `mesh_encoder.py:465-476`): h <- adj @ (h @ W) + b (+ReLU).
+    Returns (final, post-activation output of layer `hidden_layer`)."""
+    h = x
+    hidden = None
+    for i, (w, b, r) in enumerate(zip(weights, biases, relus)):
+        support = jnp.einsum("...vc,cf->...vf", h, w,
+                             preferred_element_type=jnp.float32)
+        if offsets is not None:
+            h = graph_matmul_banded(adj, support, offsets) + b
+        else:
+            h = graph_matmul(adj, support) + b
+        if r:
+            h = jax.nn.relu(h)
+        if i == hidden_layer:
+            hidden = h
+    return h, hidden
+
+
+def _gcn_stack_impl(x, weights, biases, adj, offsets, relus, hidden_layer):
+    if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
+        from garment4d_tpu.ops.pallas.gcnstack import (
+            gcn_stack_cf_pallas,
+            stack_supported,
+        )
+
+        if stack_supported(x.shape[-2], x.shape[-1],
+                           [w.shape[1] for w in weights], offsets):
+            v = adj.shape[0]
+            idx = jnp.arange(v)
+            vals = jax.lax.stop_gradient(
+                jnp.stack([adj[idx, (idx + o) % v] for o in offsets]))
+            lead = x.shape[:-2]
+            flat = x.reshape((-1,) + x.shape[-2:])
+            out, hidden = gcn_stack_cf_pallas(
+                flat, tuple(weights), tuple(biases), vals,
+                tuple(int(o) for o in offsets), tuple(relus),
+                int(hidden_layer))
+            return (out.reshape(lead + out.shape[-2:]),
+                    hidden.reshape(lead + hidden.shape[-2:]))
+    return _gcn_stack_ref(x, weights, biases, adj, offsets, relus,
+                          hidden_layer)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gcn_stack(x, weights, biases, adj, offsets, relus, hidden_layer):
+    """Whole GCN refinement stack as one op: on TPU with a banded adjacency
+    the entire stack runs in one VMEM-resident Pallas pass
+    (`ops/pallas/gcnstack.py`); elsewhere it is the layer-by-layer reference
+    formulation. Backward recomputes the unfused stack (the layers' HBM
+    round-trips are what the fusion removes; the recompute is the same trade
+    `jax.checkpoint` makes).
+
+    x: (..., V, C0); weights: sequence of (C_in, C_out); biases: (C_out,);
+    adj: (V, V) dense adjacency (constant); offsets: static cyclic-diagonal
+    tuple or None (dense fallback); relus: static per-layer bool tuple;
+    hidden_layer: which layer's post-activation output to also return.
+    -> (out (..., V, C_last), hidden (..., V, C_hidden))."""
+    return _gcn_stack_impl(x, weights, biases, adj, offsets, relus,
+                           hidden_layer)
+
+
+def _gcn_stack_fwd(x, weights, biases, adj, offsets, relus, hidden_layer):
+    out = _gcn_stack_impl(x, weights, biases, adj, offsets, relus,
+                          hidden_layer)
+    return out, (x, weights, biases, adj)
+
+
+def _gcn_stack_bwd(offsets, relus, hidden_layer, res, g):
+    x, weights, biases, adj = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_: _gcn_stack_ref(x_, w_, b_, adj, offsets, relus,
+                                          hidden_layer),
+        x, weights, biases)
+    dx, dw, db = vjp(g)
+    return dx, dw, db, jnp.zeros_like(adj)
+
+
+gcn_stack.defvjp(_gcn_stack_fwd, _gcn_stack_bwd)

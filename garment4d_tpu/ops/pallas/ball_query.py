@@ -37,6 +37,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _slot_positions(cum, S: int):
+    """Positions of the first S hits from an inclusive hit-count prefix
+    `cum` (Tm, N): idx_s = #lanes with cum < s+1.
+
+    Slots are paired: counts fit in 16 bits (N <= 8192), so two slots'
+    indicator vectors pack into one int32 (low/high halfword) and SHARE the
+    lane reduction - the dominant VPU cost of the query - cutting the
+    passes per slot from compare+reduce to compare+shifted-add+half a
+    reduce."""
+    slots = []
+    for s in range(0, S, 2):
+        lo = (cum < s + 1).astype(jnp.int32)
+        if s + 1 < S:
+            lo = lo + ((cum < s + 2).astype(jnp.int32) << 16)
+        tot = jnp.sum(lo, axis=-1, keepdims=True)
+        slots.append(tot & 0xFFFF)
+        if s + 1 < S:
+            slots.append(tot >> 16)
+    return jnp.concatenate(slots, axis=-1)  # (Tm, S)
+
+
 def _scan(xyz_ref, cx, cy, cz, hi, radii2, nsamples, s_pads, n_valid,
           tile_m):
     """Full-vector first-`nsample` scan of points [0, hi): returns per
@@ -71,11 +92,10 @@ def _scan(xyz_ref, cx, cy, cz, hi, radii2, nsamples, s_pads, n_valid,
     results = []
     for cum, S, s_pad in zip(packed_cums, nsamples, s_pads):
         cnt = cum[:, hi - 1:hi]  # (Tm, 1)
-        slots = []
-        for s in range(S):
-            below = cum < s + 1
-            slots.append(jnp.sum(below.astype(jnp.int32), axis=-1,
-                                 keepdims=True))
+        # (slot pairing as in _slot_positions measured SLOWER here: the flat
+        # scan's reduce is already fused; the extra shift-adds cost ~4%)
+        slots = [jnp.sum((cum < s + 1).astype(jnp.int32), axis=-1,
+                         keepdims=True) for s in range(S)]
         idx = jnp.concatenate(slots, axis=-1)  # (Tm, S)
         if s_pad != S:
             idx = jnp.pad(idx, ((0, 0), (0, s_pad - S)))
@@ -127,7 +147,7 @@ _GROUP_W = 512
 
 def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
                        n_valid: int, m_valid: int, tile_m: int,
-                       n_groups: int):
+                       n_groups: int, w: int = _GROUP_W):
     """Group-bounded scan: slot extraction only runs over the prefix of
     512-lane groups that can contain a tile's first-`nsample` hits.
 
@@ -150,7 +170,7 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
     before_ref = refs[R + 1]
     pos_refs = refs[R + 2:R + 2 + R]
 
-    W = _GROUP_W
+    W = w
     cx = centers_ref[0, :, 0:1]
     cy = centers_ref[0, :, 1:2]
     cz = centers_ref[0, :, 2:3]
@@ -221,10 +241,7 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
                 def _slots(r=r, S=S, sp=sp, packed=packed):
                     local = (packed >> (10 * r)) & 0x3FF
                     cum = before_ref[g][:, r:r + 1] + local  # (Tm, W)
-                    slots = [jnp.sum((cum < s + 1).astype(jnp.int32),
-                                     axis=-1, keepdims=True)
-                             for s in range(S)]
-                    contrib = jnp.concatenate(slots, axis=-1)
+                    contrib = _slot_positions(cum, S)
                     if sp != S:
                         contrib = jnp.pad(contrib, ((0, 0), (0, sp - S)))
                     pos_refs[r][...] = pos_refs[r][...] + contrib
@@ -244,11 +261,12 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
 
 
 def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
-                              new_xyz: jax.Array, tile_m: int = 256):
+                              new_xyz: jax.Array, tile_m: int = 256,
+                              w: int = _GROUP_W):
     """Large-N path of `ball_query_multi_pallas` (same results)."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
-    W = _GROUP_W
+    W = w
     n_groups = _round_up(N, W) // W
     n_pad = n_groups * W
     m_pad = _round_up(M, tile_m)
@@ -266,7 +284,7 @@ def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
     kernel = functools.partial(
         _bq_grouped_kernel, radii2=tuple(float(r) ** 2 for r in radii),
         nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
-        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups)
+        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups, w=W)
     outs = pl.pallas_call(
         kernel,
         grid=(B, m_pad // tile_m),
@@ -305,7 +323,7 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     first-S hits. A win when center tiles are spatially coherent AND hits
     are dense (posed-stage body queries: 52 -> 34 ms at production shapes);
     a loss for scattered centers (FPS output: 26 -> 53 ms), so opt-in."""
-    if grouped and len(radii) <= 3 and xyz.shape[1] > 2048:
+    if grouped and len(radii) <= 3 and xyz.shape[1] > 1024:
         return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz)
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]

@@ -233,7 +233,7 @@ def group_points(points: Array, idx: Array) -> Array:
 
 def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
                chunk: int = 1024, use_pallas: Optional[bool] = None,
-               prefix: int = 0) -> Array:
+               prefix: int = 0, grouped: bool = False) -> Array:
     """For each center, indices of the first `nsample` points within `radius`.
 
     xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, nsample) int32.
@@ -257,6 +257,17 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array,
         # non-differentiable (reference `pointnet2_utils.py:224-226`); the
         # stop_gradient also keeps autodiff from trying to differentiate
         # through the pallas_call
+        if grouped and xyz.shape[1] > 1024:
+            # group-bounded kernel: a win when centers are tile-coherent
+            # (garment-mesh vertices in ring order) AND hits are dense
+            # enough that the first-S hits land in the leading lane groups
+            from garment4d_tpu.ops.pallas.ball_query import (
+                ball_query_multi_pallas,
+            )
+
+            return ball_query_multi_pallas(
+                (radius,), (nsample,), lax.stop_gradient(xyz),
+                lax.stop_gradient(new_xyz), grouped=True)[0]
         return ball_query_pallas(radius, nsample, lax.stop_gradient(xyz),
                                  lax.stop_gradient(new_xyz), prefix)
 

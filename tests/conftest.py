@@ -16,8 +16,12 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; override via jax.config so tests run on the virtual CPU mesh
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat test runs skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_garment4d")
+# persistent compilation cache: repeat test runs skip recompilation.
+# Keyed by the host's CPU features: XLA:CPU AOT artifacts embed the compile
+# host's ISA, and a cache dir inherited from another box risks SIGILL.
+from __graft_entry__ import _host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

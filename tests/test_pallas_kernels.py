@@ -569,3 +569,62 @@ class TestFusedChainKernel:
         np.testing.assert_allclose(np.asarray(got_xyz), np.asarray(want_xyz))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestGcnStackKernel:
+    """Fused GCN stack (ops/pallas/gcnstack.py) vs the unfused reference."""
+
+    def _setup(self, rng, BT=3, V=48, C0=35):
+        from garment4d_tpu.models.assets import GarmentAssets
+        from garment4d_tpu.ops.graph import _gcn_stack_ref, cyclic_diagonals
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)  # V=48
+        adj = jnp.asarray(assets.gcn_adj)
+        offs = cyclic_diagonals(assets.gcn_adj)
+        widths = [16, 16, 16, 3]
+        weights, biases = [], []
+        c = C0
+        for w_ in widths:
+            weights.append(jnp.asarray(rng.randn(c, w_) * 0.3, jnp.float32))
+            biases.append(jnp.asarray(rng.randn(w_) * 0.1, jnp.float32))
+            c = w_
+        x = jnp.asarray(rng.randn(BT, V, C0), jnp.float32)
+        return x, weights, biases, adj, offs, _gcn_stack_ref
+
+    def test_matches_reference(self, rng):
+        from garment4d_tpu.ops.pallas.gcnstack import gcn_stack_cf_pallas
+
+        x, ws, bs, adj, offs, ref = self._setup(rng)
+        relus = (True, True, True, False)
+        out_ref, hid_ref = ref(x, ws, bs, adj, offs, relus, 2)
+        V = adj.shape[0]
+        idx = jnp.arange(V)
+        vals = jnp.stack([adj[idx, (idx + o) % V] for o in offs])
+        with pltpu.force_tpu_interpret_mode():
+            out, hid = gcn_stack_cf_pallas(x, tuple(ws), tuple(bs), vals,
+                                           offs, relus, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hid), np.asarray(hid_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gcn_stack_grads(self, rng):
+        from garment4d_tpu import ops
+
+        x, ws, bs, adj, offs, ref = self._setup(rng)
+        relus = (True, True, True, False)
+
+        def loss_fused(x, ws, bs):
+            o, h = ops.gcn_stack(x, tuple(ws), tuple(bs), adj, offs, relus, 2)
+            return jnp.sum(o ** 2) + jnp.sum(h ** 2)
+
+        def loss_ref(x, ws, bs):
+            o, h = ref(x, ws, bs, adj, offs, relus, 2)
+            return jnp.sum(o ** 2) + jnp.sum(h ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, tuple(ws), tuple(bs))
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, tuple(ws), tuple(bs))
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
