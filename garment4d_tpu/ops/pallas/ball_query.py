@@ -145,9 +145,9 @@ def _bq_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples, s_pads,
 _GROUP_W = 512
 
 
-def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
-                       n_valid: int, m_valid: int, tile_m: int,
-                       n_groups: int, w: int = _GROUP_W):
+def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
+                       nsamples, s_pads, n_valid: int, m_valid: int,
+                       tile_m: int, n_groups: int, w: int = _GROUP_W):
     """Group-bounded scan: slot extraction only runs over the prefix of
     512-lane groups that can contain a tile's first-`nsample` hits.
 
@@ -159,18 +159,27 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
     exhausted stop at their LAST hit instead of forcing a full scan - the
     flaw that made the old fixed-`prefix` early exit rescan ~100% of tiles.
 
+    `nvalid_ref` (B,) scalar-prefetch carries per-batch DYNAMIC valid counts:
+    callers that compact candidates pad the table to a static cap with 1e9
+    sentinels, and phase 1 skips whole groups past the dynamic count (the
+    posed stage's per-frame coverage is often ~30-70% of the cap, so this
+    skips real distance work, exactly - sentinel points can never hit).
+
     xyz_ref: (1, G, 8, 512) f32, xyz on sublanes 0..2; centers_ref:
     (1, Tm, 3); refs = out_refs per radius + scratch: d2 (G, Tm, 512) f32,
     before (G, Tm, 128) int32 (per-radius exclusive group hit counts in
-    lanes r*8... col r), pos (Tm, s_pad_r) int32 per radius.
+    lanes r*4... col r), run (Tm, 128) int32 running prefix, pos
+    (Tm, s_pad_r) int32 per radius.
     """
     R = len(radii2)
     out_refs = refs[:R]
     d2_ref = refs[R]
     before_ref = refs[R + 1]
-    pos_refs = refs[R + 2:R + 2 + R]
+    run_ref = refs[R + 2]
+    pos_refs = refs[R + 3:R + 3 + R]
 
     W = w
+    nv = nvalid_ref[pl.program_id(0)]
     cx = centers_ref[0, :, 0:1]
     cy = centers_ref[0, :, 1:2]
     cz = centers_ref[0, :, 2:3]
@@ -179,23 +188,31 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
     row_valid = (pl.program_id(1) * tile_m + row) < m_valid
 
     # ---- phase 1: distances, per-group hit totals, running prefix -------
-    def phase1(g, running):  # running: (Tm, 128) int32, col r = radius r cnt
-        chunk = xyz_ref[0, g]  # (8, W)
-        d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
-              + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
-        d2_ref[g] = d2
-        before_ref[g] = running
-        valid = (g * W + lane) < n_valid
-        for r, r2 in enumerate(radii2):
-            m = jnp.logical_and(d2 < r2, valid)
-            tot = jnp.sum(m.astype(jnp.int32), axis=-1, keepdims=True)
-            running += jnp.where(
-                lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) == r,
-                tot, 0)
-        return running
+    run_ref[...] = jnp.zeros((tile_m, 128), jnp.int32)
 
-    cnt_all = lax.fori_loop(0, n_groups, phase1,
-                            jnp.zeros((tile_m, 128), jnp.int32))
+    def phase1(g, _):
+        running = run_ref[...]  # (Tm, 128) int32, col r = radius r count
+        before_ref[g] = running
+
+        @pl.when(g * W < nv)
+        def _live():
+            chunk = xyz_ref[0, g]  # (8, W)
+            d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
+                  + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
+            d2_ref[g] = d2
+            valid = (g * W + lane) < n_valid
+            acc = running
+            for r, r2 in enumerate(radii2):
+                m = jnp.logical_and(d2 < r2, valid)
+                tot = jnp.sum(m.astype(jnp.int32), axis=-1, keepdims=True)
+                acc += jnp.where(
+                    lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) == r,
+                    tot, 0)
+            run_ref[...] = acc
+        return 0
+
+    lax.fori_loop(0, n_groups, phase1, 0)
+    cnt_all = run_ref[...]
 
     # ---- per-row live-group bounds -> per-radius scalar bounds ----------
     bounds = []
@@ -262,8 +279,14 @@ def _bq_grouped_kernel(xyz_ref, centers_ref, *refs, radii2, nsamples, s_pads,
 
 def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
                               new_xyz: jax.Array, tile_m: int = 256,
-                              w: int = _GROUP_W):
-    """Large-N path of `ball_query_multi_pallas` (same results)."""
+                              w: int = _GROUP_W,
+                              n_valid_dyn: jax.Array = None):
+    """Large-N path of `ball_query_multi_pallas` (same results).
+
+    `n_valid_dyn` (B,) int32, optional: per-batch-row dynamic count of real
+    (non-sentinel) leading points; phase 1 skips whole lane groups past it.
+    Exact as long as rows beyond it can never satisfy `d2 < r^2` (callers
+    pad with 1e9 sentinels)."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     W = w
@@ -280,37 +303,47 @@ def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
     centers = new_xyz.astype(jnp.float32)
     if m_pad != M:
         centers = jnp.pad(centers, ((0, 0), (0, m_pad - M), (0, 0)))
+    if n_valid_dyn is None:
+        nvalid = jnp.full((B,), N, jnp.int32)
+    else:
+        nvalid = n_valid_dyn.reshape(B).astype(jnp.int32)
 
     kernel = functools.partial(
         _bq_grouped_kernel, radii2=tuple(float(r) ** 2 for r in radii),
         nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
         n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups, w=W)
-    outs = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, m_pad // tile_m),
         in_specs=[
-            pl.BlockSpec((1, n_groups, 8, W), lambda b, m: (b, 0, 0, 0),
+            pl.BlockSpec((1, n_groups, 8, W), lambda b, m, nv: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 3), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, tile_m, 3), lambda b, m, nv: (b, m, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, tile_m, sp), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, tile_m, sp), lambda b, m, nv: (b, m, 0),
                          memory_space=pltpu.VMEM) for sp in s_pads),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((B, m_pad, sp), jnp.int32) for sp in s_pads),
         scratch_shapes=(
             [pltpu.VMEM((n_groups, tile_m, W), jnp.float32),
-             pltpu.VMEM((n_groups, tile_m, 128), jnp.int32)]
+             pltpu.VMEM((n_groups, tile_m, 128), jnp.int32),
+             pltpu.VMEM((tile_m, 128), jnp.int32)]
             + [pltpu.VMEM((tile_m, sp), jnp.int32) for sp in s_pads]),
-    )(chunks, centers)
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, m_pad, sp), jnp.int32) for sp in s_pads),
+    )(nvalid, chunks, centers)
     return tuple(o[:, :M, :s] for o, s in zip(outs, nsamples))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
                             new_xyz: jax.Array, prefix: int = 0,
-                            grouped: bool = False):
+                            grouped: bool = False,
+                            n_valid_dyn: jax.Array = None):
     """Several ball queries over the same (xyz, new_xyz) pair.
 
     radii/nsamples: tuples; returns a tuple of (B, M, nsample_i) int32.
@@ -324,7 +357,8 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     are dense (posed-stage body queries: 52 -> 34 ms at production shapes);
     a loss for scattered centers (FPS output: 26 -> 53 ms), so opt-in."""
     if grouped and len(radii) <= 3 and xyz.shape[1] > 1024:
-        return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz)
+        return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz,
+                                         n_valid_dyn=n_valid_dyn)
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     n_pad = _round_up(N, 128)

@@ -221,7 +221,8 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     cent_s = lax.stop_gradient(new_xyz)
     r_max = float(max(radii))
     cover = covered_mask_pallas(xyz_s, cent_s, r_max)  # (B, N) int32
-    overflow = jnp.any(jnp.sum(cover, axis=1) > cap)
+    counts = jnp.sum(cover, axis=1)  # (B,) covered points per frame
+    overflow = jnp.any(counts > cap)
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
     keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
     compact_idx = lax.sort(keys, dimension=1)[:, :cap]
@@ -234,11 +235,15 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     def compact_branch(xyz_full, centers, packed_full, cxyz, cpacked):
         # queries/masks are non-diff: centers enter them stop-gradiented so
         # autodiff never tries to JVP the query kernels; the differentiable
-        # center path is the rel-xyz subtraction inside group_pe_max
+        # center path is the rel-xyz subtraction inside group_pe_max.
+        # `n_valid_dyn`: the compacted table's real candidates sit in the
+        # leading `counts[b]` rows (order-preserving compaction), the rest
+        # are 1e9 sentinels - the kernel skips those groups' distance work
         ctr_s = lax.stop_gradient(centers)
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            lax.stop_gradient(cxyz), ctr_s, grouped=True)
+            lax.stop_gradient(cxyz), ctr_s, grouped=True,
+            n_valid_dyn=jnp.minimum(counts, cap))
         outs = pe_all(cpacked, idxs, centers)
         d0 = jnp.sum((ctr_s - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
                      axis=-1)

@@ -367,7 +367,8 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
     cent_s = lax.stop_gradient(new_xyz)
     r_max = float(max(radii))
     cover = covered_mask_pallas(xyz_s, cent_s, r_max)  # (B, N) int32
-    overflow = jnp.any(jnp.sum(cover, axis=1) > cap)
+    counts = jnp.sum(cover, axis=1)  # (B,) covered points per frame
+    overflow = jnp.any(counts > cap)
 
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
     keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
@@ -398,10 +399,13 @@ def query_group_pruned_multi(radii, nsamples, xyz: Array, new_xyz: Array,
 
     def compact_branch(xyz_full, centers, feats_full, cxyz, cfeat):
         # grouped=True: centers are garment-mesh vertices (tile-coherent)
-        # and hits are dense, the group-bounded kernel's winning regime
+        # and hits are dense, the group-bounded kernel's winning regime.
+        # n_valid_dyn: real candidates occupy the leading counts[b] rows of
+        # the compacted table; the kernel skips the sentinel tail's groups
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            lax.stop_gradient(cxyz), centers, grouped=True)
+            lax.stop_gradient(cxyz), centers, grouped=True,
+            n_valid_dyn=jnp.minimum(counts, cap))
         if channel_first:
             row0 = feats_full[:, 0, :][:, :, None, None]  # (B, C, 1, 1)
         else:

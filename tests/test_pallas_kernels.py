@@ -628,3 +628,32 @@ class TestGcnStackKernel:
                         jax.tree_util.tree_leaves(gr)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestDynamicValidBallQuery:
+    """grouped kernel with a per-batch dynamic valid count == full scan on
+    the sentinel-padded table."""
+
+    def test_matches_full_scan(self, rng):
+        from garment4d_tpu.ops.pallas.ball_query import (
+            _ball_query_multi_grouped,
+        )
+
+        B, N, M, cap = 3, 1200, 100, 2048
+        xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32) * 0.3
+        counts = jnp.asarray([1200, 700, 130], jnp.int32)
+        # sentinel-pad each row past its dynamic count (as the candidate
+        # compaction does)
+        lane = jnp.arange(cap)[None, :]
+        padded = jnp.pad(xyz, ((0, 0), (0, cap - N), (0, 0)),
+                         constant_values=1e9)
+        padded = jnp.where((lane < counts[:, None])[..., None], padded,
+                           jnp.float32(1e9))
+        ctr = jnp.asarray(rng.randn(B, M, 3), jnp.float32) * 0.3
+        radii, ns = (0.2, 0.4), (8, 16)
+        with pltpu.force_tpu_interpret_mode():
+            ref = _ball_query_multi_grouped(radii, ns, padded, ctr)
+            got = _ball_query_multi_grouped(radii, ns, padded, ctr,
+                                            n_valid_dyn=counts)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
