@@ -290,7 +290,9 @@ class PosedGarmentModel(nn.Module):
                 pe = garment_pes[i](garment_xyz[i], cur_garment_v,
                                     garment_feats[i])
                 pe_list.append(pe)
-            feat = jnp.concatenate(pe_list, axis=-1)  # (BT, Vg, 3 + 6*32)
+            # pe_list: [xyz, 3 body PEs, 3 garment PEs] (+ attention mix
+            # below) - consumed as pieces by ops.gcn_stack, never
+            # concatenated on the TPU path
 
             if it > 0:
                 last = hidden_feats[-1].reshape(B, T, Vg, self.hidden_dim)
@@ -305,16 +307,19 @@ class PosedGarmentModel(nn.Module):
                 mixed = jnp.einsum("bts,bsd->btd", attn, v,
                                    preferred_element_type=jnp.float32)
                 mixed = mixed.reshape(BT, Vg, self.hidden_dim)
-                feat = jnp.concatenate([feat, mixed], axis=-1)
+                pe_list.append(mixed)
 
-            # the whole 4-layer stack as one fused op (TPU: a single
-            # VMEM-resident Pallas pass; CPU: the layer-by-layer reference
-            # formulation). `hidden` = the post-ReLU 3rd-layer feature the
-            # next iteration's temporal attention reads.
+            # the whole 4-layer stack as one fused op consuming the feature
+            # PIECES directly (TPU: a single VMEM-resident Pallas pass whose
+            # first matmul distributes over the concatenation, so the
+            # (BT, Vg, 323) concat never materialises; CPU: the
+            # layer-by-layer reference formulation). `hidden` = the
+            # post-ReLU 3rd-layer feature the next iteration's temporal
+            # attention reads.
             ws = tuple(w for w, _ in gcn_params[it])
             bs = tuple(b for _, b in gcn_params[it])
             h, hidden = ops.gcn_stack(
-                feat, ws, bs, adj, diag_offsets,
+                tuple(pe_list), ws, bs, adj, diag_offsets,
                 (True, True, True, False), 2)
             hidden_feats.append(hidden)
             cur_garment_v = cur_garment_v + h

@@ -194,11 +194,11 @@ _banded_apply.defvjp(_banded_apply_fwd, _banded_apply_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _gcn_stack_ref(x, weights, biases, adj, offsets, relus, hidden_layer):
+def _gcn_stack_ref(xs, weights, biases, adj, offsets, relus, hidden_layer):
     """Unfused stack (reference `modules/pygcn/layers.py:44-58` applied per
     layer, `mesh_encoder.py:465-476`): h <- adj @ (h @ W) + b (+ReLU).
     Returns (final, post-activation output of layer `hidden_layer`)."""
-    h = x
+    h = jnp.concatenate(xs, axis=-1) if len(xs) > 1 else xs[0]
     hidden = None
     for i, (w, b, r) in enumerate(zip(weights, biases, relus)):
         support = jnp.einsum("...vc,cf->...vf", h, w,
@@ -214,33 +214,35 @@ def _gcn_stack_ref(x, weights, biases, adj, offsets, relus, hidden_layer):
     return h, hidden
 
 
-def _gcn_stack_impl(x, weights, biases, adj, offsets, relus, hidden_layer):
-    if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
+def _gcn_stack_impl(xs, weights, biases, adj, offsets, relus, hidden_layer):
+    x0 = xs[0]
+    c_total = sum(x.shape[-1] for x in xs)
+    if jax.default_backend() == "tpu" and x0.dtype == jnp.float32:
         from garment4d_tpu.ops.pallas.gcnstack import (
             gcn_stack_cf_pallas,
             stack_supported,
         )
 
-        if stack_supported(x.shape[-2], x.shape[-1],
+        if stack_supported(x0.shape[-2], c_total,
                            [w.shape[1] for w in weights], offsets):
             v = adj.shape[0]
             idx = jnp.arange(v)
             vals = jax.lax.stop_gradient(
                 jnp.stack([adj[idx, (idx + o) % v] for o in offsets]))
-            lead = x.shape[:-2]
-            flat = x.reshape((-1,) + x.shape[-2:])
+            lead = x0.shape[:-2]
+            flat = tuple(x.reshape((-1,) + x.shape[-2:]) for x in xs)
             out, hidden = gcn_stack_cf_pallas(
                 flat, tuple(weights), tuple(biases), vals,
                 tuple(int(o) for o in offsets), tuple(relus),
                 int(hidden_layer))
             return (out.reshape(lead + out.shape[-2:]),
                     hidden.reshape(lead + hidden.shape[-2:]))
-    return _gcn_stack_ref(x, weights, biases, adj, offsets, relus,
+    return _gcn_stack_ref(xs, weights, biases, adj, offsets, relus,
                           hidden_layer)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def gcn_stack(x, weights, biases, adj, offsets, relus, hidden_layer):
+def gcn_stack(xs, weights, biases, adj, offsets, relus, hidden_layer):
     """Whole GCN refinement stack as one op: on TPU with a banded adjacency
     the entire stack runs in one VMEM-resident Pallas pass
     (`ops/pallas/gcnstack.py`); elsewhere it is the layer-by-layer reference
@@ -248,29 +250,34 @@ def gcn_stack(x, weights, biases, adj, offsets, relus, hidden_layer):
     round-trips are what the fusion removes; the recompute is the same trade
     `jax.checkpoint` makes).
 
-    x: (..., V, C0); weights: sequence of (C_in, C_out); biases: (C_out,);
-    adj: (V, V) dense adjacency (constant); offsets: static cyclic-diagonal
-    tuple or None (dense fallback); relus: static per-layer bool tuple;
-    hidden_layer: which layer's post-activation output to also return.
+    xs: tuple of (..., V, C_i) feature pieces - the stack input is their
+    channel concatenation, but the fused kernel contracts each piece against
+    its row-slice of W0 directly, so the concatenated array (and its
+    lane-padded copy, ~0.5 GB of HBM writes per posed forward) never
+    materialises. weights: sequence of (C_in, C_out) with
+    weights[0].shape[0] == sum(C_i); biases: (C_out,); adj: (V, V) dense
+    adjacency (constant); offsets: static cyclic-diagonal tuple or None
+    (dense fallback); relus: static per-layer bool tuple; hidden_layer:
+    which layer's post-activation output to also return.
     -> (out (..., V, C_last), hidden (..., V, C_hidden))."""
-    return _gcn_stack_impl(x, weights, biases, adj, offsets, relus,
+    return _gcn_stack_impl(xs, weights, biases, adj, offsets, relus,
                            hidden_layer)
 
 
-def _gcn_stack_fwd(x, weights, biases, adj, offsets, relus, hidden_layer):
-    out = _gcn_stack_impl(x, weights, biases, adj, offsets, relus,
+def _gcn_stack_fwd(xs, weights, biases, adj, offsets, relus, hidden_layer):
+    out = _gcn_stack_impl(xs, weights, biases, adj, offsets, relus,
                           hidden_layer)
-    return out, (x, weights, biases, adj)
+    return out, (xs, weights, biases, adj)
 
 
 def _gcn_stack_bwd(offsets, relus, hidden_layer, res, g):
-    x, weights, biases, adj = res
+    xs, weights, biases, adj = res
     _, vjp = jax.vjp(
         lambda x_, w_, b_: _gcn_stack_ref(x_, w_, b_, adj, offsets, relus,
                                           hidden_layer),
-        x, weights, biases)
-    dx, dw, db = vjp(g)
-    return dx, dw, db, jnp.zeros_like(adj)
+        xs, weights, biases)
+    dxs, dw, db = vjp(g)
+    return dxs, dw, db, jnp.zeros_like(adj)
 
 
 gcn_stack.defvjp(_gcn_stack_fwd, _gcn_stack_bwd)

@@ -9,11 +9,17 @@ along SUBLANES, which Mosaic lowers to cross-sublane permutes ~8x off the
 VPU's lane-roll speed (~2.1 ms per multiply at production shapes).
 
 This kernel runs the WHOLE stack channel-first and VMEM-resident per batch
-element: the weight matmul is one MXU `(F, C) @ (C, V)` contraction, the
+element: the weight matmuls are MXU `(F, C) @ (C, V)` contractions, the
 banded multiply is D cyclic LANE rolls (cheap), and no intermediate ever
-reaches HBM. HBM traffic: one read of x (channel-first), the weights/diags,
-and the two outputs (final layer + the post-ReLU 3rd-layer feature that
-temporal attention consumes).
+reaches HBM. The input arrives as the UNCONCATENATED feature pieces
+([xyz, 6 PE blocks, temporal-attention mix], reference
+`mesh_encoder.py:465-476`): the first layer's matmul distributes over the
+concatenation, `W0^T @ concat(p_i) == sum_i W0_i^T @ p_i`, so each piece is
+contracted against its row-slice of W0 straight from its channel-LAST
+layout - the (B, V, 323) concatenated feature and its lane-padded copy
+(~0.5 GB of HBM writes per forward) never exist. HBM traffic: the pieces
+(read once), weights/diags, and the two outputs (final layer + the
+post-ReLU 3rd-layer feature that temporal attention consumes).
 """
 
 from __future__ import annotations
@@ -50,43 +56,58 @@ def _banded_cf(h, vals_ref, offsets, v_valid: int):
     return acc
 
 
-def _stack_kernel(x_ref, vals_ref, *refs, offsets, relus, v_valid: int,
-                  n_weights: int, hidden_layer: int, cl_input: bool):
-    """x_ref (1, C0p, Vp) channel-first input - or (1, Vp, C0p)
-    channel-last when `cl_input` (the first matmul contracts the trailing C
-    of both operands, so no relayout of x is needed anywhere); vals_ref
-    (Dp, Vp); refs = [w0t, b0, w1t, b1, ...] weight (F, Cp) / bias (F, 1)
-    pairs, then out_ref (1, F_last_p, Vp) and hidden_ref (1, F_hidden, Vp)."""
-    w_refs = refs[:2 * n_weights]
-    out_ref, hidden_ref = refs[2 * n_weights:]
+def _stack_kernel(vals_ref, *refs, offsets, relus, v_valid: int, v_pad: int,
+                  n_pieces: int, n_weights: int, hidden_layer: int):
+    """vals_ref (Dp, Vp); refs = piece refs (1, C_i, V) CHANNEL-FIRST
+    (channel-last blocks would pad each piece's C_i lanes to 128 - 1 MB of
+    VMEM per 32-wide piece; channel-first they tile to C_i/8 sublane rows),
+    then layer-0 weight slices (F0, C_i) (one per piece, = W0[rows of piece
+    i]^T), b0 (F0, 1), then [w_l (F_l, F_{l-1}), b_l (F_l, 1)] for l >= 1,
+    then out_ref (1, F_last_p, Vp) and hidden_ref (1, F_hidden, Vp)."""
+    x_refs = refs[:n_pieces]
+    w0_refs = refs[n_pieces:2 * n_pieces]
+    rest = refs[2 * n_pieces:]
+    b0_ref = rest[0]
+    w_refs = rest[1:1 + 2 * (n_weights - 1)]
+    out_ref, hidden_ref = rest[1 + 2 * (n_weights - 1):]
 
-    h = x_ref[0]  # (C0p, Vp) or (Vp, C0p)
-    for i in range(n_weights):
-        wt = w_refs[2 * i][...]   # (F, Cp)
-        b = w_refs[2 * i + 1][...]  # (F, 1)
-        if i == 0 and cl_input:
-            support = jax.lax.dot_general(
-                wt, h, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (F, Vp)
-        else:
-            support = jnp.dot(wt, h, preferred_element_type=jnp.float32)
+    # layer 0: contract each channel-first piece against its W0 row-slice
+    support = None
+    for i in range(n_pieces):
+        xi = x_refs[i][0]       # (C_i, V) channel-first
+        wi = w0_refs[i][...]    # (F0, C_i)
+        t = jnp.dot(wi, xi, preferred_element_type=jnp.float32)  # (F0, V)
+        support = t if support is None else support + t
+    if v_pad != v_valid:
+        support = jnp.pad(support, ((0, 0), (0, v_pad - v_valid)))
+    h = _banded_cf(support, vals_ref, offsets, v_valid) + b0_ref[...]
+    if relus[0]:
+        h = jnp.maximum(h, 0.0)
+    if hidden_layer == 0:
+        hidden_ref[0] = h
+
+    for l in range(1, n_weights):
+        wt = w_refs[2 * (l - 1)][...]     # (F_l, F_{l-1})
+        b = w_refs[2 * (l - 1) + 1][...]  # (F_l, 1)
+        support = jnp.dot(wt, h, preferred_element_type=jnp.float32)
         h = _banded_cf(support, vals_ref, offsets, v_valid) + b
-        if relus[i]:
+        if relus[l]:
             h = jnp.maximum(h, 0.0)
-        if i == hidden_layer:
+        if l == hidden_layer:
             hidden_ref[0] = h
     out_ref[0] = h
 
 
-def gcn_stack_cf_pallas(x: jax.Array, weights, biases, vals: jax.Array,
-                        offsets, relus, hidden_layer: int,
-                        cl_input: bool = True):
-    """x: (B, V, C0) channel-last f32; weights: list of (C_in, C_out);
-    biases: (C_out,); vals: (D, V) cyclic-diagonal values of the adjacency;
-    offsets/relus: static tuples; hidden_layer: index of the layer whose
-    post-activation output is returned alongside (the temporal-attention
-    feed). Returns (out (B, V, C_last), hidden (B, V, C_hidden))."""
-    B, V, C0 = x.shape
+def gcn_stack_cf_pallas(xs, weights, biases, vals: jax.Array,
+                        offsets, relus, hidden_layer: int):
+    """xs: tuple of (B, V, C_i) channel-last f32 feature pieces (their
+    concatenation is the stack input); weights: list of (C_in, C_out) with
+    weights[0] taking sum(C_i) rows; biases: (C_out,); vals: (D, V)
+    cyclic-diagonal values of the adjacency; offsets/relus: static tuples;
+    hidden_layer: index of the layer whose post-activation output is
+    returned alongside (the temporal-attention feed).
+    Returns (out (B, V, C_last), hidden (B, V, C_hidden))."""
+    B, V, _ = xs[0].shape
     L = len(weights)
     D = len(offsets)
     v_pad = _round_up(V, 128)
@@ -94,52 +115,61 @@ def gcn_stack_cf_pallas(x: jax.Array, weights, biases, vals: jax.Array,
     f_hidden = weights[hidden_layer].shape[1]
     f_last = weights[-1].shape[1]
     f_last_p = _round_up(f_last, 8)
-
-    c0_pad = _round_up(C0, 8)
-    if cl_input:
-        # keep x channel-last: the first layer contracts C in-place on the
-        # MXU (no (B, V, C) -> (B, C, V) relayout through HBM)
-        c0_pad = _round_up(C0, 128)
-        xt = jnp.pad(x.astype(jnp.float32),
-                     ((0, 0), (0, v_pad - V), (0, c0_pad - C0)))
-    else:
-        # channel-first input: channels to a sublane multiple, V to lanes
-        xt = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))  # (B, C0, V)
-        xt = jnp.pad(xt, ((0, 0), (0, c0_pad - C0), (0, v_pad - V)))
+    assert V % 8 == 0  # full-block piece reads need 8-aligned sublanes
 
     valsp = jnp.pad(vals.astype(jnp.float32),
                     ((0, d_pad - D), (0, v_pad - V)))
 
-    w_args = []
-    w_specs = []
-    cs = [c0_pad] + [_round_up(w.shape[1], 8) for w in weights]
-    for i, (w, b) in enumerate(zip(weights, biases)):
+    # layer-0 weight, split by piece rows, transposed (F0, C_i)
+    f0 = weights[0].shape[1]
+    piece_args, piece_specs = [], []
+    w0_args, w0_specs = [], []
+    off = 0
+    for x in xs:
+        c_i = x.shape[-1]
+        # channel-first piece: (1, C_i, V) blocks tile compactly in VMEM
+        piece_args.append(jnp.transpose(x.astype(jnp.float32), (0, 2, 1)))
+        piece_specs.append(
+            pl.BlockSpec((1, c_i, V), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM))
+        w0_args.append(
+            jnp.transpose(weights[0][off:off + c_i].astype(jnp.float32)))
+        w0_specs.append(
+            pl.BlockSpec((f0, c_i), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM))
+        off += c_i
+    assert off == weights[0].shape[0], "piece widths must sum to W0 rows"
+
+    wb_args = [biases[0].astype(jnp.float32)[:, None]]
+    wb_specs = [pl.BlockSpec((f0, 1), lambda bb: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for i in range(1, L):
+        w, b = weights[i], biases[i]
         c_in, c_out = w.shape
         assert i == L - 1 or c_out % 8 == 0, "hidden widths must be 8-aligned"
         f_p = _round_up(c_out, 8) if i == L - 1 else c_out
         wt = jnp.pad(jnp.transpose(w.astype(jnp.float32)),
-                     ((0, f_p - c_out), (0, cs[i] - c_in)))
+                     ((0, f_p - c_out), (0, 0)))
         bp = jnp.pad(b.astype(jnp.float32), (0, f_p - c_out))[:, None]
-        w_args += [wt, bp]
-        w_specs += [
-            pl.BlockSpec(wt.shape, lambda bb: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(bp.shape, lambda bb: (0, 0), memory_space=pltpu.VMEM),
+        wb_args += [wt, bp]
+        wb_specs += [
+            pl.BlockSpec(wt.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bp.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM),
         ]
 
     kernel = functools.partial(
         _stack_kernel, offsets=tuple(int(o) for o in offsets),
-        relus=tuple(bool(r) for r in relus), v_valid=V, n_weights=L,
-        hidden_layer=hidden_layer, cl_input=cl_input)
-    x_block = (1, v_pad, c0_pad) if cl_input else (1, c0_pad, v_pad)
+        relus=tuple(bool(r) for r in relus), v_valid=V, v_pad=v_pad,
+        n_pieces=len(xs), n_weights=L, hidden_layer=hidden_layer)
     out, hidden = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(x_block, lambda bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, v_pad), lambda bb: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + w_specs,
+        ] + piece_specs + w0_specs + wb_specs,
         out_specs=(
             pl.BlockSpec((1, f_last_p, v_pad), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -150,7 +180,7 @@ def gcn_stack_cf_pallas(x: jax.Array, weights, biases, vals: jax.Array,
             jax.ShapeDtypeStruct((B, f_last_p, v_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, f_hidden, v_pad), jnp.float32),
         ),
-    )(xt, valsp, *w_args)
+    )(valsp, *piece_args, *w0_args, *wb_args)
     out = jnp.transpose(out[:, :f_last, :V], (0, 2, 1))
     hidden = jnp.transpose(hidden[:, :, :V], (0, 2, 1))
     return out, hidden
@@ -158,12 +188,12 @@ def gcn_stack_cf_pallas(x: jax.Array, weights, biases, vals: jax.Array,
 
 def stack_supported(V: int, C0: int, widths, offsets) -> bool:
     """VMEM feasibility of the fused stack at these shapes."""
-    if offsets is None or len(offsets) > 16:
+    if offsets is None or len(offsets) > 16 or V % 8 != 0:
         return False
     v_pad = _round_up(V, 128)
     c0_pad = _round_up(C0, 8)
     fmax = max(int(w) for w in widths)
-    # x + 3 roll temporaries at the widest layer + outputs + weights
+    # pieces + 3 roll temporaries at the widest layer + outputs + weights
     budget = (c0_pad + 4 * fmax + 2 * fmax) * v_pad * 4
     budget += sum(int(w) * c0_pad for w in widths) * 4
     return budget < 11 * 1024 * 1024

@@ -540,14 +540,39 @@ def three_nn(unknown: Array, known: Array,
     return jnp.sqrt(res.dists), res.idx
 
 
-def three_interpolate(features: Array, idx: Array, weight: Array) -> Array:
+def three_interpolate(features: Array, idx: Array, weight: Array,
+                      use_cf: Optional[bool] = None) -> Array:
     """Weighted interpolation of 3-NN features, channel-last.
 
     features: (B, M, C), idx: (B, N, 3), weight: (B, N, 3) -> (B, N, C).
     Differentiable w.r.t. `features` (and `weight`); the reference grad
     scatter (`src/interpolate_gpu.cu:115-160`) becomes XLA's deterministic
     gather transpose.
+
+    On TPU the gather runs K-MAJOR and CHANNEL-FIRST: the row-major
+    formulation's (B, N*3, C) gather forces a (B, N*3, C) relayout copy
+    (~850 MB per FP1 call at production shapes). K-major indices make the
+    (B, C, 3*Np) -> (B, C, 3, Np) split layout-free (Np 128-aligned), the
+    weighted K-sum fuses into the gather output read, and only the final
+    (B, C, N) -> (B, N, C) result - a third of the volume - is transposed.
     """
+    B, N, K = idx.shape
+    C = features.shape[-1]
+    if use_cf is None:
+        use_cf = jax.default_backend() == "tpu"
+    if use_cf:
+        n_pad = ((N + 127) // 128) * 128
+        idx_p = idx.astype(jnp.int32)
+        w_p = weight
+        if n_pad != N:
+            idx_p = jnp.pad(idx_p, ((0, 0), (0, n_pad - N), (0, 0)))
+            w_p = jnp.pad(w_p, ((0, 0), (0, n_pad - N), (0, 0)))
+        idx_km = jnp.transpose(idx_p, (0, 2, 1)).reshape(B, K * n_pad)
+        g = _gather_rows_cf(features, idx_km)  # (B, C, K*n_pad)
+        g = g.reshape(B, C, K, n_pad)
+        w_cf = jnp.transpose(w_p, (0, 2, 1))[:, None]  # (B, 1, K, n_pad)
+        out_cf = jnp.sum(g * w_cf, axis=2)  # (B, C, n_pad)
+        return jnp.transpose(out_cf, (0, 2, 1))[:, :N]
     gathered = group_points(features, idx)  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)
 

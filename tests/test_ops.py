@@ -131,6 +131,28 @@ class TestInterpolate:
                          w)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_three_interpolate_cf_path(self, rng):
+        """The TPU channel-first K-major formulation == the reference
+        formulation, values and gradients."""
+        feats = jnp.asarray(rng.randn(2, 12, 6), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, 12, size=(2, 30, 3)), jnp.int32)
+        w = jnp.asarray(rng.rand(2, 30, 3), jnp.float32)
+
+        ref = ops.three_interpolate(feats, idx, w, use_cf=False)
+        cf = ops.three_interpolate(feats, idx, w, use_cf=True)
+        np.testing.assert_allclose(np.asarray(cf), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(f, w, cf_flag):
+            return jnp.sum(
+                ops.three_interpolate(f, idx, w, use_cf=cf_flag) ** 2)
+
+        gr = jax.grad(loss, argnums=(0, 1))(feats, w, False)
+        gc = jax.grad(loss, argnums=(0, 1))(feats, w, True)
+        for a, b in zip(gc, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_weights(self):
         dist = jnp.asarray([[[1.0, 2.0, 4.0]]])
         w = np.asarray(ops.interp_weights_from_dists(dist))

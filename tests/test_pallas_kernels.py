@@ -595,13 +595,15 @@ class TestGcnStackKernel:
         from garment4d_tpu.ops.pallas.gcnstack import gcn_stack_cf_pallas
 
         x, ws, bs, adj, offs, ref = self._setup(rng)
+        # split the input into pieces (as the posed model feeds them)
+        xs = (x[..., :3], x[..., 3:19], x[..., 19:])
         relus = (True, True, True, False)
-        out_ref, hid_ref = ref(x, ws, bs, adj, offs, relus, 2)
+        out_ref, hid_ref = ref(xs, ws, bs, adj, offs, relus, 2)
         V = adj.shape[0]
         idx = jnp.arange(V)
         vals = jnp.stack([adj[idx, (idx + o) % V] for o in offs])
         with pltpu.force_tpu_interpret_mode():
-            out, hid = gcn_stack_cf_pallas(x, tuple(ws), tuple(bs), vals,
+            out, hid = gcn_stack_cf_pallas(xs, tuple(ws), tuple(bs), vals,
                                            offs, relus, 2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                    rtol=1e-5, atol=1e-5)
@@ -615,11 +617,13 @@ class TestGcnStackKernel:
         relus = (True, True, True, False)
 
         def loss_fused(x, ws, bs):
-            o, h = ops.gcn_stack(x, tuple(ws), tuple(bs), adj, offs, relus, 2)
+            xs = (x[..., :3], x[..., 3:])
+            o, h = ops.gcn_stack(xs, tuple(ws), tuple(bs), adj, offs,
+                                 relus, 2)
             return jnp.sum(o ** 2) + jnp.sum(h ** 2)
 
         def loss_ref(x, ws, bs):
-            o, h = ref(x, ws, bs, adj, offs, relus, 2)
+            o, h = ref((x,), ws, bs, adj, offs, relus, 2)
             return jnp.sum(o ** 2) + jnp.sum(h ** 2)
 
         gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, tuple(ws), tuple(bs))
