@@ -67,7 +67,8 @@ class SAModuleMSG(nn.Module):
                             dtype=self.dtype, name=f"mlp{i}")
             if (fuse_ok and chain_supported(xyz.shape[1], c_in,
                                             self.nsamples[i],
-                                            tuple(self.mlps[i]))):
+                                            tuple(self.mlps[i]),
+                                            m=new_xyz.shape[1])):
                 ws, bs = mlp.folded(c_in)
                 qidx = ops.ball_query(self.radii[i], self.nsamples[i],
                                       xyz, new_xyz)

@@ -38,16 +38,25 @@ def _round_up(x: int, m: int) -> int:
 
 _R_TILE = 4096  # gathered lanes per grid step (= S * TC)
 _MAX_TABLE_BYTES = 4 * 1024 * 1024
-_MAX_LIVE_BYTES = 8 * 1024 * 1024  # gathered block + widest two intermediates
+_MAX_LIVE_BYTES = 12 * 1024 * 1024  # gathered block + widest two intermediates
 
 
-def chain_supported(n: int, c: int, s: int, widths=(32, 32)) -> bool:
-    """Whether the fused kernel handles (and likely wins at) this shape."""
+def chain_supported(n: int, c: int, s: int, widths=(32, 32),
+                    m: int = None) -> bool:
+    """Whether the fused kernel handles (and likely wins at) this shape.
+
+    `m` (center count) permits center tiles narrower than 128 lanes: a
+    TC < 128 output block is legal only when it covers the whole padded
+    center axis (one grid step), i.e. m <= TC - the regime of the wide
+    S=64 SA scales (sa3 / garment_sa2, 64 centers)."""
     n_pad = _round_up(n, 128)
     c_pad = _round_up(c, 8)
     if c_pad * n_pad * 4 > _MAX_TABLE_BYTES:
         return False
-    if _R_TILE % s or _R_TILE // s < 128:
+    if _R_TILE % s:
+        return False
+    tc = _R_TILE // s
+    if tc < 128 and (m is None or m > tc):
         return False
     wmax = max(_round_up(w, 8) for w in widths)
     if (c_pad + 2 * wmax) * _R_TILE * 4 > _MAX_LIVE_BYTES:

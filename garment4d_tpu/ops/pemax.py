@@ -120,7 +120,8 @@ def _chain_impl(table, idx, centers, weights, biases, relus):
         )
 
         if (chain_supported(table.shape[1], table.shape[2], idx.shape[2],
-                            tuple(w.shape[1] for w in weights))
+                            tuple(w.shape[1] for w in weights),
+                            m=idx.shape[1])
                 and table.dtype == jnp.float32):
             return fused_chain_pallas(table, idx, centers, tuple(weights),
                                       tuple(biases), tuple(relus),

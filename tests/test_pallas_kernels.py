@@ -543,6 +543,34 @@ class TestFusedChainKernel:
                                                 tuple(bs), relus, S))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_wide_s64_small_m(self, rng):
+        """S=64 with 64 centers (the sa3 / garment_sa2 scale): TC drops to
+        64 lanes, legal because one tile covers the whole center axis."""
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            chain_supported,
+            fused_chain_pallas,
+        )
+        from garment4d_tpu.ops.pemax import _chain_reference
+
+        B, N, C, M, S = 2, 256, 99, 64, 64
+        widths = (128, 128)
+        assert chain_supported(N, C, S, widths, m=M)
+        table = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, N, (B, M, S)).astype(np.int32))
+        ctr = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        ws, bs, cur = [], [], C
+        for w in widths:
+            ws.append(jnp.asarray(rng.randn(cur, w).astype(np.float32) * 0.2))
+            bs.append(jnp.asarray(rng.randn(w).astype(np.float32) * 0.1))
+            cur = w
+        relus = (True,) * len(widths)
+        want = np.asarray(_chain_reference(table, idx, ctr, tuple(ws),
+                                           tuple(bs), relus))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_chain_pallas(table, idx, ctr, tuple(ws),
+                                                tuple(bs), relus, S))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
     def test_folded_sa_matches_unfused_module(self, rng):
         """SAModuleMSG's fused eval path (BN folding + chain kernel) ==
         the unfused module, end to end in interpret mode."""
