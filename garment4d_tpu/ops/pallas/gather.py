@@ -66,8 +66,9 @@ def gather_supported(n: int, c: int) -> bool:
     return (n_pad // 128) * max(c_pad // 8, 1) <= 1024
 
 
-@jax.jit
-def gather_rows_pallas_cf(table: jax.Array, idx: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2,))
+def gather_rows_pallas_cf(table: jax.Array, idx: jax.Array,
+                          keep_pad: bool = False) -> jax.Array:
     """table: (B, N, C) f32, idx: (B, R) int32 in [0, N) -> (B, C, R)
     CHANNEL-FIRST: out[b, :, r] = table[b, idx[b, r], :].
 
@@ -75,6 +76,12 @@ def gather_rows_pallas_cf(table: jax.Array, idx: jax.Array) -> jax.Array:
     on lanes); returning it directly saves the (B, R, C) relayout copy -
     ~1.4 GB / 3 ms per big neighbourhood gather at production shapes.
     Forward-only (wrap in a custom_vjp for differentiable consumers).
+
+    `keep_pad` returns the raw (B, C_pad, R_pad) tile-padded output: when R
+    is not a tile multiple the `[:, :C, :R]` slice is a full relayout copy
+    of the result (~850 MB for the FP1 interpolation gather); consumers
+    that lane-slice the region they need (e.g. `three_interpolate`'s
+    per-neighbour slices) fuse those reads and never pay it.
     """
     B, N, C = table.shape
     R = idx.shape[1]
@@ -102,6 +109,8 @@ def gather_rows_pallas_cf(table: jax.Array, idx: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, c_pad, r_pad), jnp.float32),
     )(t, ix)
+    if keep_pad:
+        return out
     return out[:, :C, :R]
 
 

@@ -194,6 +194,51 @@ def _gather_rows_cf_bwd(res, g):
 _gather_rows_cf.defvjp(_gather_rows_cf_fwd, _gather_rows_cf_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows_cf_pad(points: Array, idx: Array) -> Array:
+    """Like `_gather_rows_cf` but returns the gather kernel's raw
+    (B, C_pad, R_pad) tile-padded output - no `[:, :C, :R]` slice, which is
+    a full relayout copy when R isn't a tile multiple. Consumers lane-slice
+    the regions they need (those reads fuse); cotangents of the pad regions
+    are zero by construction, so the backward slices them off and reuses
+    the deterministic scatter-add."""
+    return _gather_rows_cf_pad_impl(points, idx)
+
+
+def _gather_rows_cf_pad_impl(points: Array, idx: Array) -> Array:
+    B, N, C = points.shape
+    R = idx.shape[1]
+    if jax.default_backend() == "tpu":
+        from garment4d_tpu.ops.pallas.gather import (
+            gather_rows_pallas_cf,
+            gather_supported,
+        )
+
+        if gather_supported(N, C) and points.dtype == jnp.float32:
+            return gather_rows_pallas_cf(points, idx, True)
+    from garment4d_tpu.ops.pallas.gather import _R_TILE
+
+    out = jnp.transpose(
+        jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1),
+        (0, 2, 1))
+    c_pad = ((C + 7) // 8) * 8
+    r_pad = ((R + _R_TILE - 1) // _R_TILE) * _R_TILE
+    return jnp.pad(out, ((0, 0), (0, c_pad - C), (0, r_pad - R)))
+
+
+def _gather_rows_cf_pad_fwd(points, idx):
+    return _gather_rows_cf_pad_impl(points, idx), (idx, points.shape)
+
+
+def _gather_rows_cf_pad_bwd(res, g):
+    idx, (B, N, C) = res
+    R = idx.shape[1]
+    return _gather_rows_bwd(res, jnp.transpose(g[:, :C, :R], (0, 2, 1)))
+
+
+_gather_rows_cf_pad.defvjp(_gather_rows_cf_pad_fwd, _gather_rows_cf_pad_bwd)
+
+
 def group_points_cf(points: Array, idx: Array) -> Array:
     """points: (B, N, C), idx: (B, M, S) int -> (B, C, M, S) channel-first.
 
@@ -560,7 +605,7 @@ def three_interpolate(features: Array, idx: Array, weight: Array,
     C = features.shape[-1]
     if use_cf is None:
         use_cf = jax.default_backend() == "tpu"
-    if use_cf:
+    if use_cf and C % 8 == 0:
         n_pad = ((N + 127) // 128) * 128
         idx_p = idx.astype(jnp.int32)
         w_p = weight
@@ -568,10 +613,15 @@ def three_interpolate(features: Array, idx: Array, weight: Array,
             idx_p = jnp.pad(idx_p, ((0, 0), (0, n_pad - N), (0, 0)))
             w_p = jnp.pad(w_p, ((0, 0), (0, n_pad - N), (0, 0)))
         idx_km = jnp.transpose(idx_p, (0, 2, 1)).reshape(B, K * n_pad)
-        g = _gather_rows_cf(features, idx_km)  # (B, C, K*n_pad)
-        g = g.reshape(B, C, K, n_pad)
-        w_cf = jnp.transpose(w_p, (0, 2, 1))[:, None]  # (B, 1, K, n_pad)
-        out_cf = jnp.sum(g * w_cf, axis=2)  # (B, C, n_pad)
+        # tile-padded gather output: the per-neighbour lane slices below
+        # fuse into the weighted sum, so neither the (B, C, K*n_pad) slice
+        # nor any reshape of the gathered block ever materialises
+        g = _gather_rows_cf_pad(features, idx_km)  # (B, C, >=K*n_pad)
+        w_cf = jnp.transpose(w_p, (0, 2, 1))  # (B, K, n_pad)
+        out_cf = None
+        for k in range(K):
+            term = g[:, :C, k * n_pad:(k + 1) * n_pad] * w_cf[:, k:k + 1, :]
+            out_cf = term if out_cf is None else out_cf + term
         return jnp.transpose(out_cf, (0, 2, 1))[:, :N]
     gathered = group_points(features, idx)  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

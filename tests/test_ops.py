@@ -134,7 +134,7 @@ class TestInterpolate:
     def test_three_interpolate_cf_path(self, rng):
         """The TPU channel-first K-major formulation == the reference
         formulation, values and gradients."""
-        feats = jnp.asarray(rng.randn(2, 12, 6), jnp.float32)
+        feats = jnp.asarray(rng.randn(2, 12, 8), jnp.float32)  # C % 8 == 0
         idx = jnp.asarray(rng.randint(0, 12, size=(2, 30, 3)), jnp.int32)
         w = jnp.asarray(rng.rand(2, 30, 3), jnp.float32)
 
