@@ -364,8 +364,10 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     n_pad = _round_up(N, 128)
     # small point sets get bigger center tiles: fewer grid steps to pay the
     # fixed per-step cost on; larger sets need the VMEM for the (Tm, N) scan
-    # arrays (measured: Tm=256 at N=1792 spills and runs 10x slower)
-    TILE_M = 64 if n_pad > 512 else (256 if n_pad > 128 else 512)
+    # arrays. (Measured at the posed stage's garment queries, N=1792 S=32:
+    # 256-row tiles run 11% faster than 64-row ones - an early-round note
+    # about 256-row spills at this size no longer reproduces.)
+    TILE_M = 64 if n_pad > 2048 else (256 if n_pad > 128 else 512)
     m_pad = _round_up(M, TILE_M)
     s_pads = tuple(_round_up(s, 128) for s in nsamples)
     prefix_p = _round_up(prefix, 128) if prefix else n_pad
