@@ -65,15 +65,19 @@ class SplitQueryGroupPE(nn.Module):
     radius: float = 0.1
     nsample: int = 16
     remat: bool = False
+    # group-bounded ball-query kernel. For index-ordered tables this loses
+    # (measured: the stage-1 garment points' hit density at r=0.1 rarely
+    # fills the S-slot quota, so the group bound degenerates to the full
+    # scan plus overhead); the spatial_sample mode enables it over
+    # Morton-ordered tables, where the [lo, bound) window is a few groups.
+    grouped: bool = False
 
     @nn.compact
     def __call__(self, xyz: Array, new_xyz: Array, features: Array) -> Array:
         k0, b0 = _DenseParams(self.in_features, self.feat_num, name="linear0")()
         k1, b1 = _DenseParams(self.feat_num, self.feat_num, name="linear1")()
-        # (measured: grouped=True loses here - the stage-1 garment points'
-        # hit density at r=0.1 rarely fills the S-slot quota, so the
-        # group bound degenerates to the full scan plus overhead)
-        idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
+        idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz,
+                             grouped=self.grouped)
 
         def core(xyz, new_xyz, features, k0, b0, k1, b1):
             proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
@@ -177,6 +181,14 @@ class PosedGarmentModel(nn.Module):
     remat: bool = False
     # bf16 stage-1 computation (see CanonicalGarmentModel.compute_dtype)
     compute_dtype: Optional[jnp.dtype] = None
+    # opt-in Morton-ordered neighbourhood sampling (ops/morton.py): the
+    # refinement queries' source tables are Z-order sorted, so each center
+    # tile's in-radius hits occupy a narrow index window and the
+    # group-bounded ball-query kernel skips most of its slot-extraction
+    # scan. The sampled first-S subsets differ from the reference's
+    # index-order ones (equally arbitrary - the dataloader shuffles point
+    # order); from-scratch training only, NOT checkpoint-parity eval.
+    spatial_sample: bool = False
 
     @property
     def _radii(self):
@@ -236,6 +248,18 @@ class PosedGarmentModel(nn.Module):
         diag_offsets = ops.graph.cyclic_diagonals(self.assets.gcn_adj)
         garment_xyz = canonical.garment_xyz        # stage-1 levels (BT, ., 3)
         garment_feats = canonical.garment_features
+        if self.spatial_sample:
+            # Z-order the per-level garment tables once (shared by all 3
+            # refinement iterations); queries over them use the group-bounded
+            # kernel whose [lo, bound) window the Morton order keeps narrow
+            from garment4d_tpu.ops import morton
+
+            sorted_xyz, sorted_feats = [], []
+            for xyz_l, feat_l in zip(garment_xyz, garment_feats):
+                perm = morton.spatial_order(xyz_l)
+                sorted_xyz.append(ops.gather_points(xyz_l, perm))
+                sorted_feats.append(ops.gather_points(feat_l, perm))
+            garment_xyz, garment_feats = sorted_xyz, sorted_feats
 
         body_pe_params = [
             _PEParams(3 + 3, self.feat_num, name=f"body_pe{i}")()
@@ -246,7 +270,8 @@ class PosedGarmentModel(nn.Module):
             SplitQueryGroupPE(
                 in_features=garment_pe_dims[i], feat_num=self.feat_num,
                 radius=r["garment_radius"][i], nsample=r["garment_nsample"][i],
-                remat=self.remat, name=f"garment_pe{i}")
+                remat=self.remat, grouped=self.spatial_sample,
+                name=f"garment_pe{i}")
             for i in range(3)
         ]
         temporal_qkv = [
@@ -280,7 +305,8 @@ class PosedGarmentModel(nn.Module):
             def body_block(cur_v, body_v, body_vn, pe_params):
                 return ops.query_group_pe_multi(
                     r["body_radius"], r["body_nsample"],
-                    body_v, cur_v, body_vn, pe_params)
+                    body_v, cur_v, body_vn, pe_params,
+                    spatial=self.spatial_sample)
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)

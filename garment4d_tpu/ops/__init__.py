@@ -30,6 +30,10 @@ from garment4d_tpu.ops.meshmath import (
     face_normals,
     vertex_normals,
 )
+from garment4d_tpu.ops.morton import (
+    morton_codes,
+    spatial_order,
+)
 from garment4d_tpu.ops.graph import (
     build_mesh_adjacency,
     gcn_adjacency,
@@ -55,7 +59,9 @@ __all__ = [
     "query_group_pe_multi",
     "interp_weights_from_dists",
     "knn_points",
+    "morton_codes",
     "pairwise_sqdist",
+    "spatial_order",
     "query_and_group",
     "three_interpolate",
     "three_nn",

@@ -215,7 +215,16 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
     cnt_all = run_ref[...]
 
     # ---- per-row live-group bounds -> per-radius scalar bounds ----------
+    # `lo`: leading groups in which NO valid row has any hit. Every lane
+    # there has cum == 0 < s+1 for every slot, so each such group adds
+    # exactly W to every slot position - accounted for by initialising the
+    # position accumulators to lo*W and skipping those groups' extraction.
+    # Index-ordered tables rarely have empty leading groups (hits scatter
+    # across the index range, lo ~ 0); spatially-ordered tables (see
+    # `ops.morton`) put each coherent center tile's hits in a narrow index
+    # window, making [lo, bound) a few groups instead of a prefix of most.
     bounds = []
+    lows = []
     for r, S in enumerate(nsamples):
         cnt_r = cnt_all[:, r:r + 1]
         tgt = jnp.minimum(cnt_r, S)  # (Tm, 1)
@@ -224,21 +233,35 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
             # groups strictly before the one holding the tgt-th hit
             return acc + (before_ref[g][:, r:r + 1] < tgt).astype(jnp.int32)
 
+        def count_empty(g, acc, r=r):
+            # group g-1 is skippable iff groups [0, g) hold no hit of any
+            # valid row; the indicator is non-increasing in g, so the count
+            # is the length of the empty leading prefix
+            pre = jnp.where(row_valid, before_ref[g][:, r:r + 1], 0)
+            return acc + (jnp.max(pre) == 0).astype(jnp.int32)
+
         live = lax.fori_loop(1, n_groups, count_live,
                              jnp.zeros((tile_m, 1), jnp.int32))
         live = live + (tgt > 0)  # + the group containing the tgt-th hit
         live = jnp.where(row_valid, live, 0)  # padded center rows: no work
         bounds.append(jnp.max(live))
+        lo = lax.fori_loop(1, n_groups, count_empty, jnp.int32(0))
+        total = jnp.max(jnp.where(row_valid, cnt_all[:, r:r + 1], 0))
+        lo = lo + (total == 0).astype(jnp.int32)  # final boundary
+        lows.append(lo)
     p_max = bounds[0]
-    for b in bounds[1:]:
+    p_min = lows[0]
+    for b, lo in zip(bounds[1:], lows[1:]):
         p_max = jnp.maximum(p_max, b)
+        p_min = jnp.minimum(p_min, lo)
 
     for r in range(R):
-        pos_refs[r][...] = jnp.zeros((tile_m, s_pads[r]), jnp.int32)
+        pos_refs[r][...] = jnp.full((tile_m, s_pads[r]), lows[r] * W,
+                                    jnp.int32)
 
     # ---- phase 2: packed local scan + slot extraction, live groups only -
     def phase2(g, _):
-        @pl.when(g < p_max)
+        @pl.when(jnp.logical_and(g >= p_min, g < p_max))
         def _live():
             d2 = d2_ref[g]
             valid = (g * W + lane) < n_valid
@@ -254,7 +277,7 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
                 packed = packed + jnp.where(lane >= shift, rolled, 0)
                 shift *= 2
             for r, (S, sp) in enumerate(zip(nsamples, s_pads)):
-                @pl.when(g < bounds[r])
+                @pl.when(jnp.logical_and(g >= lows[r], g < bounds[r]))
                 def _slots(r=r, S=S, sp=sp, packed=packed):
                     local = (packed >> (10 * r)) & 0x3FF
                     cum = before_ref[g][:, r:r + 1] + local  # (Tm, W)

@@ -161,7 +161,7 @@ group_chain_max.defvjp(_chain_fwd, _chain_bwd)
 def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
                          xyz: Array, new_xyz: Array, features: Array,
                          pe_params: Sequence, cap_frac: float = 0.72,
-                         use_pallas=None):
+                         use_pallas=None, spatial: bool = False):
     """Candidate-compacted multi-radius ball query + fused PE blocks.
 
     Returns a tuple of (B, M, G_i) PE features, exactly
@@ -174,6 +174,13 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     kernel -> order-preserving compaction -> exact no-hit fixup, cond
     fallback to the full point set on candidate overflow), but the grouped
     neighbourhoods feed the fused PE kernel instead of materialising.
+
+    `spatial=True` orders the compacted candidates by Morton code instead of
+    index (`ops.morton`): each center tile's hits land in a narrow group
+    window of the ball-query kernel, collapsing its slot-extraction scan.
+    The first-S subset then differs from the reference's index-order one
+    (equally arbitrary - the reference shuffles point order per frame); for
+    from-scratch training only, NOT checkpoint-parity eval.
     """
     from garment4d_tpu.ops.pointcloud import ball_query_multi
 
@@ -216,8 +223,9 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
     from garment4d_tpu.ops.pointcloud import _gather_rows
 
-    # order-preserving candidate compaction, identical to
-    # `query_group_pruned_multi` (pointcloud.py)
+    # candidate compaction, identical to `query_group_pruned_multi`
+    # (pointcloud.py): order-preserving by index (exact first-S semantics),
+    # or Morton-ordered under `spatial` (see docstring)
     xyz_s = lax.stop_gradient(xyz)
     cent_s = lax.stop_gradient(new_xyz)
     r_max = float(max(radii))
@@ -225,8 +233,17 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     counts = jnp.sum(cover, axis=1)  # (B,) covered points per frame
     overflow = jnp.any(counts > cap)
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-    keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
-    compact_idx = lax.sort(keys, dimension=1)[:, :cap]
+    if spatial:
+        from garment4d_tpu.ops.morton import morton_codes
+
+        keys = jnp.where(cover > 0, morton_codes(xyz_s), jnp.int32(1) << 30)
+        payload = jnp.where(cover > 0, iota, jnp.int32(N))
+        _, compact_idx = lax.sort((keys, payload), dimension=1, num_keys=1,
+                                  is_stable=True)
+        compact_idx = compact_idx[:, :cap]
+    else:
+        keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
+        compact_idx = lax.sort(keys, dimension=1)[:, :cap]
     valid = compact_idx < N
     safe_idx = jnp.where(valid, compact_idx, 0)
     cxyz = _gather_rows(xyz, safe_idx)

@@ -145,6 +145,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="bf16 computation for the encoder dense stacks (params/geometry stay f32)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialise posed-stage PE blocks in the backward (fits batch>=8 training in HBM)")
+    p.add_argument("--spatial_sample", type=int, default=0,
+                   help="Morton-ordered neighbourhood sampling for the posed-stage "
+                        "refinement queries (faster; a different but equally "
+                        "arbitrary in-radius subset - from-scratch training only, "
+                        "not checkpoint-parity eval)")
     p.add_argument("--debug_nans", type=int, default=0,
                    help="enable jax_debug_nans (the TPU equivalent of the "
                         "reference's isnan->pdb tripwires, train_temporal.py:250)")

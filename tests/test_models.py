@@ -254,3 +254,35 @@ class TestBf16Mode:
         err = np.abs(np.asarray(o16.tpose_garment)
                      - np.asarray(o32.tpose_garment)).max()
         assert err < 0.2, err
+
+
+class TestSpatialSampleMode:
+    def test_posed_forward_spatial(self, assets, body_model, batch):
+        """Opt-in Morton-ordered sampling: the model must run end to end and
+        produce finite refinements of the same shapes (the sampled subsets
+        differ from the exact-parity mode by construction)."""
+        model = PosedGarmentModel(
+            assets=assets, body_faces=body_model.faces,
+            lbs_k=8, iterations=2, spatial_sample=True)
+        body = BodyInputs(
+            pose=batch["pose"],
+            smpl_vertices=batch["smpl_vertices"],
+            tpose_vertices=batch["tpose_smpl_vertices"],
+            tpose_root_joints=batch["tpose_smpl_root_joints"],
+            zeropose_vertices=batch["zeropose_smpl_vertices"],
+            J_regressor=batch["J_regressor"],
+            lbs_weights=batch["lbs_weights"],
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch["pcd"], body,
+                               train=False)
+        out = model.apply(variables, batch["pcd"], body, train=False)
+        assert out.iter_garment_v[-1].shape == (B, T, assets.num_verts, 3)
+        assert np.isfinite(np.asarray(out.iter_garment_v[-1])).all()
+        # the parameter tree is unchanged (ckpt compatibility): a default
+        # model's variables apply cleanly to the spatial one
+        base = PosedGarmentModel(assets=assets, body_faces=body_model.faces,
+                                 lbs_k=8, iterations=2)
+        bv = base.init(jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+        tree_a = jax.tree_util.tree_structure(bv["params"])
+        tree_b = jax.tree_util.tree_structure(variables["params"])
+        assert tree_a == tree_b

@@ -689,3 +689,121 @@ class TestDynamicValidBallQuery:
                                             n_valid_dyn=counts)
         for a, b in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMortonSpatial:
+    """ops/morton.py + the grouped kernel's [lo, bound) group window."""
+
+    @staticmethod
+    def _morton_ref(xyz):
+        lo = xyz.min(1, keepdims=True)
+        hi = xyz.max(1, keepdims=True)
+        q = np.clip((xyz - lo) / np.maximum(hi - lo, 1e-12) * 1023,
+                    0, 1023).astype(np.int64)
+
+        def spread(v):
+            out = np.zeros_like(v)
+            for bit in range(10):
+                out |= ((v >> bit) & 1) << (3 * bit)
+            return out
+
+        return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+                | (spread(q[..., 2]) << 2)).astype(np.int32)
+
+    def test_morton_codes_match_bitwise_reference(self, rng):
+        from garment4d_tpu.ops.morton import morton_codes
+
+        xyz = rng.randn(3, 200, 3).astype(np.float32)
+        got = np.asarray(morton_codes(jnp.asarray(xyz)))
+        np.testing.assert_array_equal(got, self._morton_ref(xyz))
+
+    def test_spatial_order_is_stable_permutation(self, rng):
+        from garment4d_tpu.ops.morton import spatial_order
+
+        xyz = rng.randn(2, 150, 3).astype(np.float32)
+        xyz[:, 50:60] = xyz[:, 40:50]  # duplicate points -> code ties
+        perm = np.asarray(spatial_order(jnp.asarray(xyz)))
+        codes = self._morton_ref(xyz)
+        for b in range(2):
+            assert sorted(perm[b]) == list(range(150))
+            np.testing.assert_array_equal(
+                perm[b], np.argsort(codes[b], kind="stable"))
+
+    def test_grouped_kernel_on_morton_table(self, rng):
+        """A Z-ordered table puts each coherent center tile's hits in a
+        narrow group window - the new lo/bound skip logic must still equal
+        the golden oracle exactly (the window is a pure perf device)."""
+        from garment4d_tpu.ops.morton import spatial_order
+        from garment4d_tpu.ops.pallas.ball_query import (
+            _ball_query_multi_grouped,
+        )
+
+        B, N = 2, 1600
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 1.5
+        perm = np.asarray(spatial_order(jnp.asarray(xyz)))
+        zxyz = np.take_along_axis(xyz, perm[..., None], axis=1)
+        # centers clustered near one corner: leading groups of the OTHER
+        # corner's points are empty for the whole tile (lo > 0)
+        centers = zxyz[:, -80:] + 0.02
+        with pltpu.force_tpu_interpret_mode():
+            got = _ball_query_multi_grouped(
+                (0.25, 0.6), (4, 8), jnp.asarray(zxyz), jnp.asarray(centers),
+                tile_m=64)
+        for g, (r, s) in zip(got, ((0.25, 4), (0.6, 8))):
+            want = ball_query_ref(r, s, zxyz, centers)
+            np.testing.assert_array_equal(np.asarray(g), want)
+
+    def test_query_group_pe_multi_spatial_oracle(self, rng):
+        """spatial=True == numpy oracle: candidates Morton-ordered, ball
+        query over the reordered table, PE math, full-row-0 no-hit fixup."""
+        from garment4d_tpu import ops
+
+        B, N, M = 2, 1152, 64
+        cap = 896  # round_up(max(int(N*0.72), 256), 128)
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.6
+        vn = rng.randn(B, N, 3).astype(np.float32)
+        ctr = np.concatenate(
+            [xyz[:, :56] * 0.2, np.full((B, 8, 3), 30.0, np.float32)],
+            axis=1)  # clustered + no-hit centers
+        radii, ss = (0.2, 0.45), (4, 8)
+        params = [(rng.randn(6, 32).astype(np.float32) * 0.2,
+                   rng.randn(32).astype(np.float32),
+                   rng.randn(32, 32).astype(np.float32) * 0.2,
+                   rng.randn(32).astype(np.float32)) for _ in ss]
+        with pltpu.force_tpu_interpret_mode():
+            got = ops.query_group_pe_multi(
+                radii, ss, jnp.asarray(xyz), jnp.asarray(ctr),
+                jnp.asarray(vn),
+                [tuple(jnp.asarray(a) for a in p) for p in params],
+                use_pallas=True, spatial=True)
+
+        # ---- numpy oracle ----
+        packed = np.concatenate([xyz, vn], axis=-1)
+        codes = self._morton_ref(xyz)
+        d2 = ((xyz[:, :, None] - ctr[:, None]) ** 2).sum(-1)  # (B, N, M)
+        cover = d2.min(-1) < max(radii) ** 2
+        assert (cover.sum(1) < cap).all() and (cover.sum(1) > 0).all()
+        keys = np.where(cover, codes, np.int32(1 << 30))
+        order = np.argsort(keys, kind="stable", axis=1)[:, :cap]
+        ctable = np.take_along_axis(xyz, order[..., None], axis=1)
+        ctable = np.where(cover.sum(1)[:, None, None]
+                          > np.arange(cap)[None, :, None],
+                          ctable, np.float32(1e9))
+        cpacked = np.take_along_axis(packed, order[..., None], axis=1)
+        ctr_pad = np.concatenate(
+            [ctr, np.zeros((B, M, 3), np.float32)], axis=-1)
+        d0 = ((ctr - ctable[:, 0:1]) ** 2).sum(-1)  # (B, M)
+        for g, r, s, (k0, b0, k1, b1) in zip(got, radii, ss, params):
+            idx = ball_query_ref(r, s, ctable, ctr)
+            rows = np.take_along_axis(
+                cpacked, idx.reshape(B, -1, 1), axis=1).reshape(B, M, s, 6)
+            qg = rows - ctr_pad[:, :, None, :]
+            h = np.maximum(np.einsum("bmsc,cf->bmsf", qg, k0) + b0, 0.0)
+            want = np.max(np.einsum("bmsf,fg->bmsg", h, k1) + b1, axis=2)
+            no_hit = (idx[:, :, 0] == 0) & ~(d0 < r ** 2)
+            qg0 = packed[:, 0][:, None, :] - ctr_pad
+            h0 = np.maximum(np.einsum("bmc,cf->bmf", qg0, k0) + b0, 0.0)
+            pe0 = np.einsum("bmf,fg->bmg", h0, k1) + b1
+            want = np.where(no_hit[..., None], pe0, want)
+            np.testing.assert_allclose(np.asarray(g), want,
+                                       rtol=1e-4, atol=1e-5)

@@ -174,7 +174,8 @@ def main(argv=None):
         model = PosedGarmentModel(
             assets=assets, body_faces=body_faces_t,
             lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION,
-            remat=bool(args.remat), compute_dtype=compute_dtype)
+            remat=bool(args.remat), compute_dtype=compute_dtype,
+            spatial_sample=bool(args.spatial_sample))
     elif args.GarmentPCA:
         model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg),
                                       compute_dtype=compute_dtype)
