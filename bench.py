@@ -9,8 +9,18 @@ skinning neighbours; reference `cfgs/skirt.yaml` + `scripts/test/test_skirt.sh`)
   * canonical-stage inference,
   * posed-stage training step (forward + all losses + backward + Adam).
 
-Prints ONE JSON line: the headline metric per the driver contract, with the
-secondary metrics and an analytic MFU under "extra".
+Output contract: stdout carries ONLY JSON lines, each a complete headline
+record; the LAST one is the most complete. Progress/diagnostics go to stderr.
+
+Failure model (the round-2 driver bench died to a transient relay
+FAILED_PRECONDITION mid-run, BENCH_r02.json): `python bench.py` runs a
+jax-free SUPERVISOR that spawns the measurement WORKER (`bench.py --worker`)
+in a subprocess, streams its JSON lines through immediately, and on a worker
+crash restarts it (fresh backend) up to 3 attempts - headline-only after the
+first. Inside the worker every device fetch is retried via
+`garment4d_tpu.utils.relay`, the headline JSON is printed the moment the
+posed measurement exists, and each secondary metric is fail-soft (its crash
+costs only that metric). The supervisor exits 0 iff a headline was captured.
 
 Baseline derivation (BASELINE_FPS): the reference publishes no throughput
 numbers (SURVEY.md section 6), so the PyTorch+CUDA baseline is estimated
@@ -31,44 +41,93 @@ by it.
 """
 
 import json
+import os
+import sys
 import time
 
 BASELINE_FPS = 100.0  # estimated reference frames/sec/GPU (see derivation above)
 PEAK_F32_FLOPS = 49.2e12  # TPU v5e per-chip peak (f32 on the MXU)
 
+# Wall-clock budget for the whole bench (supervisor start -> last JSON).
+# Secondary metrics are skipped when the remaining budget can't cover them;
+# the headline is never skipped.
+BUDGET_S = float(os.environ.get("G4D_BENCH_BUDGET_S", 2700))
+_DEADLINE_ENV = "G4D_BENCH_DEADLINE"
 
-def _sync(x):
-    import numpy as np
-
-    leaf = x
-    if isinstance(x, (tuple, list)):
-        leaf = x[0]
-    return float(np.asarray(leaf.ravel()[0]))
+_T0 = time.time()
 
 
-def _time_fn(run, iters=10):
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(record: dict) -> None:
+    """Print one complete headline JSON line to stdout (the only stdout
+    traffic). Re-emitted with richer `extra` as secondary metrics land."""
+    print(json.dumps(record), flush=True)
+
+
+def _remaining() -> float:
+    return float(os.environ.get(_DEADLINE_ENV, _T0 + BUDGET_S)) - time.time()
+
+
+# ---------------------------------------------------------------------------
+# worker
+# ---------------------------------------------------------------------------
+
+
+def _time_fn(run, sync, iters=10):
     """Steady-state seconds per call: dispatch `iters` async jit calls
     back-to-back and force completion once at the end. Syncing every
     iteration would serialize a host<->device round trip (~30-40 ms through
     the axon relay) into each measurement; the device-side program time is
     what throughput is made of (verified against the profiler's XLA Modules
-    envelope)."""
-    _sync(run())  # warm-up / compile
-    _sync(run())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    envelope). The full dispatch+sync block retries once on a transient
+    relay failure (re-dispatching re-creates any poisoned buffers)."""
+    from garment4d_tpu.utils.relay import call_with_retry
+
+    def measure():
+        sync(run())  # warm-up / compile
+        sync(run())
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run()
+        sync(out)
+        return (time.perf_counter() - t0) / iters
+
+    return call_with_retry(measure, attempts=2, delay_s=10.0,
+                           label="timed measurement")
 
 
-def main():
+def _maybe_inject_fault(point: str) -> None:
+    """Test hook: `G4D_BENCH_FAULT={pre_headline,post_headline}` makes the
+    FIRST worker attempt die at that point with a relay-shaped error, so the
+    supervisor's recovery path can be exercised end-to-end (tests/test_bench.py)."""
+    if (os.environ.get("G4D_BENCH_FAULT") == point
+            and os.environ.get("G4D_BENCH_ATTEMPT") == "1"):
+        _progress(f"injecting fault at {point}")
+        raise RuntimeError("FAILED_PRECONDITION: injected relay fault")
+
+
+def worker(headline_only: bool) -> int:
     import jax
 
+    if os.environ.get("G4D_BENCH_PLATFORM"):
+        # test hook: the axon sitecustomize force-registers the TPU backend,
+        # so CPU selection must go through jax.config, not JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["G4D_BENCH_PLATFORM"])
+
     # persistent compile cache: repeated bench runs (and anything else on
-    # this box) skip the multi-minute XLA/Mosaic compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_garment4d")
+    # this box) skip the multi-minute XLA/Mosaic compiles. CPU runs (test
+    # hook) use the ISA-keyed dir - XLA:CPU AOT artifacts embed the compile
+    # host's ISA and a dir inherited from another box risks SIGILL.
+    cache = "/tmp/jax_cache_garment4d"
+    if os.environ.get("G4D_BENCH_PLATFORM") == "cpu":
+        from __graft_entry__ import _host_cache_dir
+        cache = _host_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import numpy as np
@@ -85,17 +144,38 @@ def main():
         make_posed_steps,
         make_state_for,
     )
+    from garment4d_tpu.utils.relay import call_with_retry
 
-    B, T, N = 8, 10, 6890
-    assets = GarmentAssets.synthetic(num_rings=125, ring_size=16)  # Vg=2000
-    body_model = smpl.synthetic_smpl(num_verts=6890)
+    def sync(x):
+        leaf = x
+        if isinstance(x, (tuple, list)):
+            leaf = x[0]
+        return float(np.asarray(leaf.ravel()[0]))
+
+    _progress(f"worker start (backend={jax.default_backend()}, "
+              f"headline_only={headline_only}, "
+              f"budget remaining {_remaining():.0f}s)")
+
+    if os.environ.get("G4D_BENCH_SHAPES") == "tiny":
+        # test hook: shapes small enough for a CPU-backed supervisor test
+        B, T, N, lbs_k = 2, 2, 512, 4
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)  # Vg=48
+        body_model = smpl.synthetic_smpl(num_verts=200)
+    else:
+        B, T, N, lbs_k = 8, 10, 6890, 256
+        assets = GarmentAssets.synthetic(num_rings=125, ring_size=16)  # Vg=2000
+        body_model = smpl.synthetic_smpl(num_verts=6890)
     model = PosedGarmentModel(
-        assets=assets, body_faces=body_model.faces, lbs_k=256, iterations=3)
+        assets=assets, body_faces=body_model.faces, lbs_k=lbs_k, iterations=3)
 
+    _progress("building synthetic batch (3 SMPL forwards on device)")
     batch = make_batch(assets, body_model, batch_size=B, T=T, npoints=N)
     body = body_inputs_from_batch(batch)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+    _progress("init posed model params (jitted)")
+    variables = call_with_retry(
+        lambda: jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["pcd"], body, train=False),
+        label="model.init")
 
     @jax.jit
     def posed_fwd(pcd, body):
@@ -104,60 +184,157 @@ def main():
     extra = {}
 
     # ---- headline: posed-stage inference -------------------------------
-    dt = _time_fn(lambda: posed_fwd(batch["pcd"], body))
+    _maybe_inject_fault("pre_headline")
+    _progress("compiling + timing posed forward (headline)")
+    dt = _time_fn(lambda: posed_fwd(batch["pcd"], body), sync)
     posed_fps = B * T / dt
-    # analytic MFU from the compiled cost model (matmul-dominated einsums)
-    try:
+    record = {
+        "metric": "posed_stage_frames_per_sec_per_chip",
+        "value": round(posed_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(posed_fps / BASELINE_FPS, 3),
+        "extra": extra,
+    }
+    _emit(record)  # the un-losable line: everything below is fail-soft
+    _progress(f"headline: {posed_fps:.1f} frames/s")
+    _maybe_inject_fault("post_headline")
+
+    def section(name, min_budget_s, fn):
+        """Run a secondary metric fail-soft: a crash or an exhausted budget
+        costs only this metric; the headline line above already printed."""
+        if headline_only:
+            return
+        if _remaining() < min_budget_s:
+            _progress(f"skipping {name}: {_remaining():.0f}s left "
+                      f"< {min_budget_s}s needed")
+            return
+        _progress(f"measuring {name}")
+        try:
+            fn()
+        except Exception as err:  # noqa: BLE001 - fail-soft by contract
+            _progress(f"{name} FAILED (headline unaffected): "
+                      f"{type(err).__name__}: {str(err)[:300]}")
+            return
+        record["extra"] = extra
+        _emit(record)
+
+    # ---- analytic MFU from the compiled cost model ----------------------
+    def mfu():
         cost = posed_fwd.lower(batch["pcd"], body).compile().cost_analysis()
         flops = float(cost.get("flops", 0.0))
         extra["posed_fwd_flops"] = flops
         extra["posed_fwd_mfu_f32"] = round(flops / dt / PEAK_F32_FLOPS, 4)
-    except Exception:
-        pass
+
+    section("cost-model MFU", 30, mfu)
 
     # (the opt-in --bf16 encoder mode was measured at these shapes: 154 vs
     # 156 f/s - the workload is selection/VPU-bound, not matmul-bound, so
     # the casts outweigh the MXU savings; not benched to keep compiles lean)
 
     # ---- canonical-stage inference --------------------------------------
-    canon = CanonicalGarmentModel(assets=assets)
-    canon_vars = jax.jit(canon.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), batch["pcd"], train=False)
+    def canonical():
+        canon = CanonicalGarmentModel(assets=assets)
+        canon_vars = call_with_retry(
+            lambda: jax.jit(canon.init, static_argnames=("train",))(
+                jax.random.PRNGKey(0), batch["pcd"], train=False),
+            label="canonical init")
 
-    @jax.jit
-    def canon_fwd(pcd):
-        return canon.apply(canon_vars, pcd, train=False).tpose_garment
+        @jax.jit
+        def canon_fwd(pcd):
+            return canon.apply(canon_vars, pcd, train=False).tpose_garment
 
-    dt_c = _time_fn(lambda: canon_fwd(batch["pcd"]))
-    extra["canonical_fwd_frames_per_sec"] = round(B * T / dt_c, 2)
+        dt_c = _time_fn(lambda: canon_fwd(batch["pcd"]), sync)
+        extra["canonical_fwd_frames_per_sec"] = round(B * T / dt_c, 2)
+
+    section("canonical forward", 180, canonical)
 
     # ---- posed-stage training step (B=4 per the reference recipe,
     # scripts/train/train_skirt_posed.sh) ---------------------------------
-    Bt = 4
-    tb = make_batch(assets, body_model, batch_size=Bt, T=T, npoints=N, seed=1)
-    state = make_state_for(model, variables, assets, lr=1e-3,
-                           freeze_canonical=True)
-    train_step, _ = make_posed_steps(model, assets, body_model.faces)
-    rng = jax.random.PRNGKey(1)
+    def train():
+        Bt = 4
+        tb = make_batch(assets, body_model, batch_size=Bt, T=T, npoints=N,
+                        seed=1)
+        state = make_state_for(model, variables, assets, lr=1e-3,
+                               freeze_canonical=True)
+        train_step, _ = make_posed_steps(model, assets, body_model.faces)
+        rng = jax.random.PRNGKey(1)
+        holder = {"state": state}
 
-    holder = {"state": state}
+        def run_train():
+            holder["state"], losses = train_step(holder["state"], tb, rng)
+            return losses["total_loss"]
 
-    def run_train():
-        holder["state"], losses = train_step(holder["state"], tb, rng)
-        return losses["total_loss"]
+        dt_t = _time_fn(run_train, sync, iters=5)
+        extra["posed_train_frames_per_sec"] = round(Bt * T / dt_t, 2)
+        extra["posed_train_step_s"] = round(dt_t, 4)
 
-    dt_t = _time_fn(run_train, iters=5)
-    extra["posed_train_frames_per_sec"] = round(Bt * T / dt_t, 2)
-    extra["posed_train_step_s"] = round(dt_t, 4)
+    section("posed train step", 240, train)
 
-    print(json.dumps({
-        "metric": "posed_stage_frames_per_sec_per_chip",
-        "value": round(posed_fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(posed_fps / BASELINE_FPS, 3),
-        "extra": extra,
-    }))
+    _progress("worker done")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# supervisor
+# ---------------------------------------------------------------------------
+
+
+def supervise() -> int:
+    """Run the worker in a subprocess; restart it on crashes until a headline
+    JSON line exists. Worker stdout (JSON lines only) streams through
+    unbuffered so an external kill still leaves the newest record on our
+    stdout; worker stderr streams to our stderr."""
+    import subprocess
+
+    deadline = _T0 + BUDGET_S
+    env = dict(os.environ)
+    env[_DEADLINE_ENV] = repr(deadline)
+    env.setdefault("PYTHONUNBUFFERED", "1")
+
+    got_headline = False
+    for attempt in range(1, 4):
+        if time.time() > deadline - 60:
+            _progress(f"budget exhausted before attempt {attempt}")
+            break
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker"]
+        if attempt > 1:
+            cmd.append("--headline-only")
+        env["G4D_BENCH_ATTEMPT"] = str(attempt)
+        _progress(f"supervisor: starting worker attempt {attempt}: "
+                  f"{' '.join(cmd[1:])}")
+        proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                stderr=sys.stderr, text=True, bufsize=1)
+        try:
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    if "metric" in rec and "value" in rec:
+                        got_headline = True
+                except ValueError:
+                    _progress(f"supervisor: non-JSON worker stdout: "
+                              f"{line[:200]}")
+                    continue
+                print(line, flush=True)  # pass through immediately
+            rc = proc.wait(timeout=max(60.0, deadline - time.time()))
+        except Exception as err:  # noqa: BLE001 - timeout/stream failures
+            _progress(f"supervisor: worker attempt {attempt} errored: {err}")
+            proc.kill()
+            rc = -1
+        if got_headline:
+            if rc != 0:
+                _progress("supervisor: worker crashed AFTER the headline - "
+                          "record is safe, not retrying")
+            return 0
+        _progress(f"supervisor: worker attempt {attempt} exited rc={rc} "
+                  "with no headline; retrying" if attempt < 3 else
+                  f"supervisor: worker attempt {attempt} exited rc={rc}")
+    return 0 if got_headline else 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        sys.exit(worker(headline_only="--headline-only" in sys.argv))
+    sys.exit(supervise())
