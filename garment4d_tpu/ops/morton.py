@@ -13,8 +13,11 @@ narrow contiguous index window, which the group-bounded ball-query kernel
 exploits exactly (its [lo, bound) group window collapses from "most of the
 table" to a few 512-lane groups, see `ops/pallas/ball_query.py`). The
 returned first-`nsample`-in-Morton-order subset is a *different but equally
-arbitrary* in-radius sample - statistically interchangeable with the
-reference's shuffled-index sample for from-scratch training, but NOT
+arbitrary* in-radius sample. For the pcd-derived garment tables the swap is
+statistically interchangeable with the reference's sample (the dataloader
+shuffles pcd point order per frame, `utils/dataloader.py:215-232`); for the
+SMPL-vertex body tables, which sit in fixed SMPL topology order, it merely
+swaps one deterministic arbitrary subset for another. Neither is
 checkpoint-parity-exact, so callers expose it behind an opt-in flag
 (`PosedGarmentModel(spatial_sample=True)`) and the default path keeps the
 reference semantics.

@@ -179,8 +179,12 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     index (`ops.morton`): each center tile's hits land in a narrow group
     window of the ball-query kernel, collapsing its slot-extraction scan.
     The first-S subset then differs from the reference's index-order one
-    (equally arbitrary - the reference shuffles point order per frame); for
-    from-scratch training only, NOT checkpoint-parity eval.
+    (equally arbitrary - see ops/morton.py); for from-scratch training only,
+    NOT checkpoint-parity eval. NOTE: `spatial` only takes effect on the
+    Pallas compacted path below; the early-return paths (CPU/`use_pallas=
+    False`, N < 1024, or cap >= N) and the overflow `full_branch` keep index
+    order, so spatial-mode neighbourhood subsets are NOT reproducible across
+    backends/shapes - don't golden-test spatial mode across them.
     """
     from garment4d_tpu.ops.pointcloud import ball_query_multi
 
