@@ -23,6 +23,7 @@ from functools import partial
 
 from garment4d_tpu.ops.pallas.ball_query import (
     _ball_query_multi_grouped,
+    _ball_query_multi_windowed,
     ball_query_multi_pallas,
 )
 
@@ -82,18 +83,28 @@ def main():
         of = flat(xyz, ctr)
         tf = timeit(flat, xyz, ctr)
         line = f"{name:14s} N={N:5d} M={M:5d} flat={tf:7.2f}"
-        for w in (256, 512):
-            for tm in (128, 256):
-                grp = jax.jit(partial(_ball_query_multi_grouped, radii, ns,
-                                      tile_m=tm, w=w))
-                try:
-                    og = grp(xyz, ctr)
-                    same = all(bool(jnp.all(a == b)) for a, b in zip(of, og))
-                    tg = timeit(grp, xyz, ctr)
-                    flag = "" if same else "!MISMATCH"
-                    line += f"  g{w}/{tm}={tg:6.2f}{flag}"
-                except Exception:
-                    line += f"  g{w}/{tm}=OOM"
+        for tm in (128, 256):
+            grp = jax.jit(partial(_ball_query_multi_grouped, radii, ns,
+                                  tile_m=tm, w=512))
+            try:
+                og = grp(xyz, ctr)
+                same = all(bool(jnp.all(a == b)) for a, b in zip(of, og))
+                tg = timeit(grp, xyz, ctr)
+                flag = "" if same else "!MISMATCH"
+                line += f"  g512/{tm}={tg:6.2f}{flag}"
+            except Exception:
+                line += f"  g512/{tm}=OOM"
+        for tm in (128, 256):
+            win = jax.jit(partial(_ball_query_multi_windowed, radii, ns,
+                                  tile_m=tm, w=512))
+            try:
+                ow = win(xyz, ctr)
+                same = all(bool(jnp.all(a == b)) for a, b in zip(of, ow))
+                tw = timeit(win, xyz, ctr)
+                flag = "" if same else "!MISMATCH"
+                line += f"  w512/{tm}={tw:6.2f}{flag}"
+            except Exception as e:
+                line += f"  w512/{tm}=ERR({type(e).__name__})"
         print(line, flush=True)
 
 
