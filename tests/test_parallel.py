@@ -15,7 +15,12 @@ from garment4d_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
-from garment4d_tpu.train.step import make_canonical_steps, make_state_for
+from garment4d_tpu.train.step import (
+    body_inputs_from_batch,
+    make_canonical_steps,
+    make_posed_steps,
+    make_state_for,
+)
 
 
 class TestMesh:
@@ -56,6 +61,71 @@ class TestMesh:
         np.testing.assert_allclose(
             float(single["total_loss"]), float(multi["total_loss"]),
             rtol=2e-4, atol=1e-5)
+
+    def test_sharded_posed_train_step_matches_single_device(self):
+        """8-device sharded POSED train step == single device: loss dict AND
+        the updated parameters (covers the posed-only paths - LBS, fused GCN
+        stack, temporal attention - that the canonical test doesn't)."""
+        from garment4d_tpu.models import PosedGarmentModel
+
+        assets = GarmentAssets.synthetic(num_rings=6, ring_size=8)  # Vg=48
+        body_model = smpl.synthetic_smpl(num_verts=200)
+        batch = make_batch(assets, body_model, batch_size=8, T=2, npoints=1536)
+        model = PosedGarmentModel(
+            assets=assets, body_faces=body_model.faces, lbs_k=4, iterations=3)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["pcd"],
+            body_inputs_from_batch(batch), train=False)
+        train_step, _ = make_posed_steps(model, assets, body_model.faces)
+        rng = jax.random.PRNGKey(1)
+
+        def fresh_state():
+            return make_state_for(
+                model,
+                jax.tree_util.tree_map(jnp.array, variables), assets,
+                lr=1e-3, freeze_canonical=True)
+
+        # single-device step (train_step donates its state: use copies)
+        s_state, s_loss = train_step(fresh_state(), batch, rng)
+
+        # dp-sharded step over the 8-device mesh
+        mesh = make_mesh()
+        with mesh:
+            m_state, m_loss = train_step(
+                fresh_state(), shard_batch(batch, mesh), rng)
+
+        for k in s_loss:  # (some entries are per-frame arrays, e.g. msre_list)
+            np.testing.assert_allclose(
+                np.asarray(s_loss[k]), np.asarray(m_loss[k]),
+                rtol=2e-4, atol=1e-5,
+                err_msg=f"loss[{k}] diverges under sharding")
+        # gradient parity via the Adam moments (mu = 0.1*g, nu = 0.001*g^2
+        # after the first step). Tolerances are per-leaf RELATIVE L2: the
+        # sharded program compiles differently, so ulp-level forward
+        # differences occasionally flip a near-tied max-argmax slot in the
+        # PE backwards, rerouting one sample's subgradient (~0.5% leaf-norm
+        # shifts on a few leaves). A real psum/sharding bug rescales whole
+        # tensors (e.g. x1/8 for a missing gradient all-reduce), which this
+        # still catches. Comparing post-Adam PARAMS would be worse: Adam
+        # amplifies any sign flip of a near-zero gradient to full step size.
+        s_leaves = jax.tree_util.tree_leaves_with_path(s_state.opt_state)
+        m_leaves = jax.tree_util.tree_leaves(m_state.opt_state)
+        assert len(s_leaves) == len(m_leaves)
+        for (path, sl), ml in zip(s_leaves, m_leaves):
+            if not hasattr(sl, "dtype") or not jnp.issubdtype(
+                    jnp.asarray(sl).dtype, jnp.floating):
+                continue
+            a, b = np.asarray(sl, np.float64), np.asarray(ml, np.float64)
+            denom = max(np.linalg.norm(a), np.linalg.norm(b), 1e-12)
+            rel = np.linalg.norm(a - b) / denom
+            assert rel < 2e-2, (
+                f"opt-state {jax.tree_util.keystr(path)} diverges under "
+                f"sharding: relative L2 {rel:.4f}")
+        s_bn = jax.tree_util.tree_leaves(s_state.batch_stats)
+        m_bn = jax.tree_util.tree_leaves(m_state.batch_stats)
+        for sl, ml in zip(s_bn, m_bn):
+            np.testing.assert_allclose(np.asarray(sl), np.asarray(ml),
+                                       rtol=5e-4, atol=2e-5)
 
     def test_sharding_actually_distributes(self):
         mesh = make_mesh()
