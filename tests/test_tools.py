@@ -165,3 +165,89 @@ class TestDeformationTransfer:
         fitted = np.asarray(fitted) + res.transl[:, None, :]
         err = np.sqrt(((fitted - np.asarray(target)) ** 2).sum(-1)).mean()
         assert err < 0.02, f"staged fit error {err}"
+
+
+class TestModelPklTools:
+    """SMPL-only equivalents of the smplx maintenance scripts
+    (`smplx/tools/clean_ch.py`, `smplx/tools/merge_smplh_mano.py`)."""
+
+    @staticmethod
+    def _chumpy_pickle(path, arrays, plain=None):
+        """Write a pickle whose array values are tagged as chumpy.ch.Ch
+        objects (the released model files' format) without chumpy installed:
+        a stand-in class registered under the chumpy module path."""
+        import pickle
+        import sys
+        import types
+
+        class Ch:
+            def __init__(self, x):
+                self.x = x
+
+        Ch.__module__ = "chumpy.ch"
+        Ch.__qualname__ = "Ch"
+        mod = types.ModuleType("chumpy")
+        chmod = types.ModuleType("chumpy.ch")
+        chmod.Ch = Ch
+        sys.modules["chumpy"] = mod
+        sys.modules["chumpy.ch"] = chmod
+        try:
+            payload = {k: Ch(v) for k, v in arrays.items()}
+            payload.update(plain or {})
+            with open(path, "wb") as f:
+                pickle.dump(payload, f, protocol=2)
+        finally:
+            del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    def test_clean_strips_chumpy(self, tmp_path, rng):
+        import pickle
+
+        from garment4d_tpu.tools.model_pkl import clean_model_pkl
+
+        arrays = {"v_template": rng.randn(10, 3).astype(np.float64),
+                  "weights": rng.rand(10, 24)}
+        plain = {"f": np.arange(12).reshape(4, 3), "bs_style": "lbs"}
+        src = tmp_path / "SMPL_TEST.pkl"
+        self._chumpy_pickle(str(src), arrays, plain)
+
+        out = clean_model_pkl(str(src), str(tmp_path / "out"))
+        # reloadable with PLAIN pickle (no chumpy shims left)
+        with open(out, "rb") as f:
+            got = pickle.load(f)
+        for k, v in arrays.items():
+            assert isinstance(got[k], np.ndarray)
+            np.testing.assert_array_equal(got[k], v)
+        np.testing.assert_array_equal(got["f"], plain["f"])
+        assert got["bs_style"] == "lbs"
+
+    def test_merge_hand_models(self, tmp_path, rng):
+        import pickle
+
+        from garment4d_tpu.tools.model_pkl import merge_hand_models
+
+        body = {"v_template": rng.randn(20, 3)}
+        lh = {"hands_components": rng.randn(6, 45),
+              "hands_coeffs": rng.randn(100, 6),
+              "hands_mean": rng.randn(45)}
+        rh = {"hands_components": rng.randn(6, 45),
+              "hands_coeffs": rng.randn(100, 6),
+              "hands_mean": rng.randn(45)}
+        paths = {}
+        for name, data in (("SMPLH_TEST.pkl", body), ("L.pkl", lh),
+                           ("R.pkl", rh)):
+            p = tmp_path / name
+            self._chumpy_pickle(str(p), data)
+            paths[name] = str(p)
+
+        out = merge_hand_models(paths["SMPLH_TEST.pkl"], paths["L.pkl"],
+                                paths["R.pkl"], str(tmp_path / "out"))
+        with open(out, "rb") as f:
+            got = pickle.load(f)
+        np.testing.assert_array_equal(got["v_template"], body["v_template"])
+        np.testing.assert_array_equal(got["hands_componentsl"],
+                                      lh["hands_components"])
+        np.testing.assert_array_equal(got["hands_componentsr"],
+                                      rh["hands_components"])
+        np.testing.assert_array_equal(got["hands_meanl"], lh["hands_mean"])
+        np.testing.assert_array_equal(got["hands_coeffsr"],
+                                      rh["hands_coeffs"])
