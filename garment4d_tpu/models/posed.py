@@ -189,6 +189,13 @@ class PosedGarmentModel(nn.Module):
     # index-order ones (equally arbitrary - the dataloader shuffles point
     # order); from-scratch training only, NOT checkpoint-parity eval.
     spatial_sample: bool = False
+    # > 0: build the body-query candidate compaction once (coverage at
+    # max radius + margin) and reuse it across the refinement iterations
+    # while the garment vertices have moved less than the margin - EXACT
+    # (lax.cond rebuild on drift/overflow; see ops/pemax.py). Pays off only
+    # when the per-iteration GCN offsets are small, i.e. with trained
+    # weights; random-init offsets (~0.7) rebuild every iteration.
+    candidate_reuse_margin: float = 0.0
 
     @property
     def _radii(self):
@@ -293,6 +300,8 @@ class PosedGarmentModel(nn.Module):
         cur_garment_v = lbs.posed_garment.reshape(BT, Vg, 3)
         iter_results = []
         hidden_feats = []  # per-iteration 128-d feature after the 3rd GCN layer
+        reuse_margin = float(self.candidate_reuse_margin)
+        body_state = None  # candidate-reuse state threaded across iterations
         for it in range(self.iterations):
             pe_list = [cur_garment_v]
             # candidate-compacted multi-radius query feeding the fused
@@ -302,16 +311,23 @@ class PosedGarmentModel(nn.Module):
             # ~55-65% of the body, exact full-space cond fallback), and the
             # grouped neighbourhoods never materialise in HBM
             # (ops/pemax.py, ops/pallas/fusedpe.py).
-            def body_block(cur_v, body_v, body_vn, pe_params):
+            def body_block(cur_v, body_v, body_vn, pe_params, state):
                 return ops.query_group_pe_multi(
                     r["body_radius"], r["body_nsample"],
                     body_v, cur_v, body_vn, pe_params,
-                    spatial=self.spatial_sample)
+                    spatial=self.spatial_sample,
+                    candidates=state, reuse_margin=reuse_margin)
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)
-            pe_list.extend(body_block(cur_garment_v, body_v, body_vn,
-                                      body_pe_params))
+            if reuse_margin > 0.0:
+                body_pes, body_state = body_block(
+                    cur_garment_v, body_v, body_vn, body_pe_params,
+                    body_state)
+            else:
+                body_pes = body_block(cur_garment_v, body_v, body_vn,
+                                      body_pe_params, None)
+            pe_list.extend(body_pes)
             for i in range(3):
                 pe = garment_pes[i](garment_xyz[i], cur_garment_v,
                                     garment_feats[i])

@@ -158,10 +158,51 @@ def _chain_bwd(relus, res, g):
 group_chain_max.defvjp(_chain_fwd, _chain_bwd)
 
 
+def _compact_candidates(xyz_s: Array, cent_s: Array, cover_r: float,
+                        cap: int, spatial: bool):
+    """Coverage mask at `cover_r` + order-preserving (or Morton) compaction.
+    Returns (counts (B,), overflow scalar, compact_idx (B, cap))."""
+    from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
+
+    B, N, _ = xyz_s.shape
+    cover = covered_mask_pallas(xyz_s, cent_s, cover_r)  # (B, N) int32
+    counts = jnp.sum(cover, axis=1)  # (B,) covered points per frame
+    overflow = jnp.any(counts > cap)
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    if spatial:
+        from garment4d_tpu.ops.morton import morton_codes
+
+        keys = jnp.where(cover > 0, morton_codes(xyz_s), jnp.int32(1) << 30)
+        payload = jnp.where(cover > 0, iota, jnp.int32(N))
+        _, compact_idx = lax.sort((keys, payload), dimension=1, num_keys=1,
+                                  is_stable=True)
+        compact_idx = compact_idx[:, :cap]
+    else:
+        keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
+        compact_idx = lax.sort(keys, dimension=1)[:, :cap]
+    return counts, overflow, compact_idx
+
+
+def _gather_candidates(xyz: Array, packed: Array, compact_idx: Array):
+    """Materialise the compacted table rows (sentinel-padded xyz + packed
+    features) from a compaction index."""
+    from garment4d_tpu.ops.pointcloud import _gather_rows
+
+    N = xyz.shape[1]
+    valid = compact_idx < N
+    safe_idx = jnp.where(valid, compact_idx, 0)
+    cxyz = _gather_rows(xyz, safe_idx)
+    cxyz = jnp.where(valid[..., None], cxyz, jnp.float32(1e9))
+    cpacked = _gather_rows(packed, safe_idx)
+    return cxyz, cpacked
+
+
 def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
                          xyz: Array, new_xyz: Array, features: Array,
                          pe_params: Sequence, cap_frac: float = 0.72,
-                         use_pallas=None, spatial: bool = False):
+                         use_pallas=None, spatial: bool = False,
+                         candidates: dict = None,
+                         reuse_margin: float = 0.0):
     """Candidate-compacted multi-radius ball query + fused PE blocks.
 
     Returns a tuple of (B, M, G_i) PE features, exactly
@@ -185,6 +226,17 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     False`, N < 1024, or cap >= N) and the overflow `full_branch` keep index
     order, so spatial-mode neighbourhood subsets are NOT reproducible across
     backends/shapes - don't golden-test spatial mode across them.
+
+    Candidate reuse across refinement iterations (`reuse_margin` > 0):
+    coverage is computed at `max(radii) + reuse_margin`, so the compacted
+    candidate set stays a superset of every point any center within
+    `reuse_margin` of the build-time centers can hit - EXACT to reuse until
+    centers drift further. The call then returns `(outs, state)`; pass the
+    state back as `candidates` on later calls, which rebuild it under a
+    `lax.cond` only when `max_m ||center - center0|| > reuse_margin` (or the
+    cap overflowed). Compaction stays order-preserving, so the first-S index
+    semantics are unchanged; with random-init weights the per-iteration GCN
+    offsets (~0.7) exceed any sensible margin and every call rebuilds.
     """
     from garment4d_tpu.ops.pointcloud import ball_query_multi
 
@@ -215,46 +267,42 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
             fixed.append(jnp.where(no_hit[..., None], h0, out))
         return tuple(fixed)
 
+    reuse = float(reuse_margin) > 0.0
+    assert candidates is None or reuse, "candidates requires reuse_margin > 0"
+
     cap = ((max(int(N * cap_frac), 256) + 127) // 128) * 128
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas or cap >= N or N < 1024:
         idxs = ball_query_multi(radii, S_total, xyz, new_xyz,
                                 use_pallas=use_pallas)
-        return tuple(pe_all(packed, idxs, new_xyz))
+        outs = tuple(pe_all(packed, idxs, new_xyz))
+        return (outs, None) if reuse else outs
 
     from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
-    from garment4d_tpu.ops.pallas.coverage import covered_mask_pallas
-    from garment4d_tpu.ops.pointcloud import _gather_rows
 
     # candidate compaction, identical to `query_group_pruned_multi`
     # (pointcloud.py): order-preserving by index (exact first-S semantics),
     # or Morton-ordered under `spatial` (see docstring)
     xyz_s = lax.stop_gradient(xyz)
     cent_s = lax.stop_gradient(new_xyz)
-    r_max = float(max(radii))
-    cover = covered_mask_pallas(xyz_s, cent_s, r_max)  # (B, N) int32
-    counts = jnp.sum(cover, axis=1)  # (B,) covered points per frame
-    overflow = jnp.any(counts > cap)
-    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-    if spatial:
-        from garment4d_tpu.ops.morton import morton_codes
+    cover_r = float(max(radii)) + float(reuse_margin)
 
-        keys = jnp.where(cover > 0, morton_codes(xyz_s), jnp.int32(1) << 30)
-        payload = jnp.where(cover > 0, iota, jnp.int32(N))
-        _, compact_idx = lax.sort((keys, payload), dimension=1, num_keys=1,
-                                  is_stable=True)
-        compact_idx = compact_idx[:, :cap]
+    def build_state():
+        counts, overflow, compact_idx = _compact_candidates(
+            xyz_s, cent_s, cover_r, cap, spatial)
+        cxyz, cpacked = _gather_candidates(xyz, packed, compact_idx)
+        return dict(cxyz=cxyz, cpacked=cpacked, counts=counts,
+                    overflow=overflow, centers0=cent_s)
+
+    if candidates is None:
+        state = build_state()
     else:
-        keys = jnp.where(cover > 0, iota, jnp.int32(1) << 30)
-        compact_idx = lax.sort(keys, dimension=1)[:, :cap]
-    valid = compact_idx < N
-    safe_idx = jnp.where(valid, compact_idx, 0)
-    cxyz = _gather_rows(xyz, safe_idx)
-    cxyz = jnp.where(valid[..., None], cxyz, jnp.float32(1e9))
-    cpacked = _gather_rows(packed, safe_idx)
+        disp2 = jnp.max(jnp.sum((cent_s - candidates["centers0"]) ** 2, -1))
+        stale = disp2 > jnp.float32(float(reuse_margin) ** 2)
+        state = lax.cond(stale, build_state, lambda: candidates)
 
-    def compact_branch(xyz_full, centers, packed_full, cxyz, cpacked):
+    def compact_branch(xyz_full, centers, packed_full, st):
         # queries/masks are non-diff: centers enter them stop-gradiented so
         # autodiff never tries to JVP the query kernels; the differentiable
         # center path is the rel-xyz subtraction inside group_pe_max.
@@ -262,21 +310,22 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
         # leading `counts[b]` rows (order-preserving compaction), the rest
         # are 1e9 sentinels - the kernel skips those groups' distance work
         ctr_s = lax.stop_gradient(centers)
+        cxyz_s = lax.stop_gradient(st["cxyz"])
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            lax.stop_gradient(cxyz), ctr_s, grouped=True,
-            n_valid_dyn=jnp.minimum(counts, cap))
-        outs = pe_all(cpacked, idxs, centers)
-        d0 = jnp.sum((ctr_s - lax.stop_gradient(cxyz)[:, 0:1, :]) ** 2,
-                     axis=-1)
+            cxyz_s, ctr_s, grouped=True,
+            n_valid_dyn=jnp.minimum(st["counts"], cap))
+        outs = pe_all(st["cpacked"], idxs, centers)
+        d0 = jnp.sum((ctr_s - cxyz_s[:, 0:1, :]) ** 2, axis=-1)
         return no_hit_fix(outs, idxs, packed_full[:, 0, :], centers, d0)
 
-    def full_branch(xyz_full, centers, packed_full, cxyz, cpacked):
+    def full_branch(xyz_full, centers, packed_full, st):
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
             lax.stop_gradient(xyz_full), lax.stop_gradient(centers),
             grouped=True)
         return tuple(pe_all(packed_full, idxs, centers))
 
-    return lax.cond(overflow, full_branch, compact_branch,
-                    xyz, new_xyz, packed, cxyz, cpacked)
+    outs = lax.cond(state["overflow"], full_branch, compact_branch,
+                    xyz, new_xyz, packed, state)
+    return (outs, state) if reuse else outs

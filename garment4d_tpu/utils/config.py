@@ -150,6 +150,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "refinement queries (faster; a different but equally "
                         "arbitrary in-radius subset - from-scratch training only, "
                         "not checkpoint-parity eval)")
+    p.add_argument("--candidate_reuse_margin", type=float, default=0.0,
+                   help="> 0: reuse the posed-stage body-query candidate "
+                        "compaction across refinement iterations while the "
+                        "garment verts move less than this margin (exact; "
+                        "rebuilds on drift - pays off with trained weights)")
     p.add_argument("--debug_nans", type=int, default=0,
                    help="enable jax_debug_nans (the TPU equivalent of the "
                         "reference's isnan->pdb tripwires, train_temporal.py:250)")

@@ -286,3 +286,32 @@ class TestSpatialSampleMode:
         tree_a = jax.tree_util.tree_structure(bv["params"])
         tree_b = jax.tree_util.tree_structure(variables["params"])
         assert tree_a == tree_b
+
+
+class TestCandidateReuseMode:
+    def test_posed_forward_reuse_matches_default(self, assets, body_model,
+                                                 batch):
+        """candidate_reuse_margin is EXACT by construction: on the CPU path
+        it degrades to per-call queries, so outputs must match the default
+        model bit-for-bit; the parameter tree is unchanged."""
+        body = BodyInputs(
+            pose=batch["pose"],
+            smpl_vertices=batch["smpl_vertices"],
+            tpose_vertices=batch["tpose_smpl_vertices"],
+            tpose_root_joints=batch["tpose_smpl_root_joints"],
+            zeropose_vertices=batch["zeropose_smpl_vertices"],
+            J_regressor=batch["J_regressor"],
+            lbs_weights=batch["lbs_weights"],
+        )
+        base = PosedGarmentModel(assets=assets, body_faces=body_model.faces,
+                                 lbs_k=8, iterations=2)
+        reuse = PosedGarmentModel(
+            assets=assets, body_faces=body_model.faces,
+            lbs_k=8, iterations=2, candidate_reuse_margin=0.05)
+        variables = base.init(jax.random.PRNGKey(0), batch["pcd"], body,
+                              train=False)
+        out_b = base.apply(variables, batch["pcd"], body, train=False)
+        out_r = reuse.apply(variables, batch["pcd"], body, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_b.iter_garment_v[-1]),
+            np.asarray(out_r.iter_garment_v[-1]))

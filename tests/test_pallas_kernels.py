@@ -868,3 +868,71 @@ class TestMortonSpatial:
             want = np.where(no_hit[..., None], pe0, want)
             np.testing.assert_allclose(np.asarray(g), want,
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestCandidateReuse:
+    """Candidate-set reuse across refinement iterations
+    (`query_group_pe_multi(reuse_margin=...)`, PLAN round-2 candidate 3):
+    coverage at r_max+margin makes reuse EXACT while centers drift less than
+    the margin; a lax.cond rebuilds on larger drift."""
+
+    def _setup(self, rng, B=2, N=1152, M=64):
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.6
+        vn = rng.randn(B, N, 3).astype(np.float32)
+        ctr = np.concatenate(
+            [xyz[:, :56] * 0.2, np.full((B, 8, 3), 30.0, np.float32)],
+            axis=1)
+        radii, ss = (0.2, 0.45), (4, 8)
+        params = [tuple(jnp.asarray(a) for a in (
+            rng.randn(6, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32),
+            rng.randn(32, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32))) for _ in ss]
+        return (jnp.asarray(xyz), jnp.asarray(ctr), jnp.asarray(vn),
+                radii, ss, params)
+
+    def test_reuse_matches_fresh(self, rng):
+        from garment4d_tpu import ops
+
+        xyz, ctr0, vn, radii, ss, params = self._setup(rng)
+        margin = 0.1
+        jitter = jnp.asarray(
+            rng.randn(*np.asarray(ctr0).shape).astype(np.float32))
+
+        def fresh(centers):
+            return ops.query_group_pe_multi(
+                radii, ss, xyz, centers, vn, params, use_pallas=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            out0, state = ops.query_group_pe_multi(
+                radii, ss, xyz, ctr0, vn, params, use_pallas=True,
+                reuse_margin=margin)
+            for g, w in zip(out0, fresh(ctr0)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-5, atol=1e-6)
+
+            # drift below the margin: the REUSED candidate set must still
+            # give exactly the fresh-compaction results
+            ctr1 = ctr0 + 0.04 * jitter / jnp.maximum(
+                jnp.linalg.norm(jitter, axis=-1, keepdims=True), 1e-9)
+            out1, state1 = ops.query_group_pe_multi(
+                radii, ss, xyz, ctr1, vn, params, use_pallas=True,
+                candidates=state, reuse_margin=margin)
+            for g, w in zip(out1, fresh(ctr1)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-5, atol=1e-6)
+            # the state was reused, not rebuilt: centers0 is still ctr0
+            np.testing.assert_array_equal(np.asarray(state1["centers0"]),
+                                          np.asarray(ctr0))
+
+            # drift beyond the margin: rebuild, results still exact and the
+            # new state anchors at the moved centers
+            ctr2 = ctr0.at[:, :, 0].add(0.3)
+            out2, state2 = ops.query_group_pe_multi(
+                radii, ss, xyz, ctr2, vn, params, use_pallas=True,
+                candidates=state1, reuse_margin=margin)
+            for g, w in zip(out2, fresh(ctr2)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(state2["centers0"]),
+                                          np.asarray(ctr2))

@@ -175,7 +175,8 @@ def main(argv=None):
             assets=assets, body_faces=body_faces_t,
             lbs_k=cfg.NETWORK.LBSK, iterations=cfg.NETWORK.ITERATION,
             remat=bool(args.remat), compute_dtype=compute_dtype,
-            spatial_sample=bool(args.spatial_sample))
+            spatial_sample=bool(args.spatial_sample),
+            candidate_reuse_margin=float(args.candidate_reuse_margin))
     elif args.GarmentPCA:
         model = CanonicalGarmentModel(assets=assets, only_seg=bool(args.only_seg),
                                       compute_dtype=compute_dtype)
