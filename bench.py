@@ -177,11 +177,29 @@ def worker(headline_only: bool) -> int:
             jax.random.PRNGKey(0), batch["pcd"], body, train=False),
         label="model.init")
 
+    # trained-weights mode: random-init weights produce unrealistic
+    # data-dependent work (near-zero garment-PE hit density, arbitrary
+    # seg selection), so the honest throughput number uses the checked-in
+    # synthetic-convergence checkpoint (tools/train_synth.py) when present.
+    # G4D_BENCH_WEIGHTS=random forces random-init; =<path> loads that npz.
+    weights = os.environ.get("G4D_BENCH_WEIGHTS") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "ckpt_synth", "posed_synth.npz")
+    if (weights != "random" and os.path.exists(weights)
+            and os.environ.get("G4D_BENCH_SHAPES") != "tiny"):
+        from garment4d_tpu.train.checkpoint import load_variables_npz
+
+        variables = load_variables_npz(weights, variables)
+        extra_weights = os.path.basename(weights)
+    else:
+        extra_weights = "random-init"
+    _progress(f"weights: {extra_weights}")
+
     @jax.jit
     def posed_fwd(pcd, body):
         return model.apply(variables, pcd, body, train=False).iter_garment_v[-1]
 
-    extra = {}
+    extra = {"weights": extra_weights}
 
     # ---- headline: posed-stage inference -------------------------------
     _maybe_inject_fault("pre_headline")
@@ -218,12 +236,26 @@ def worker(headline_only: bool) -> int:
         record["extra"] = extra
         _emit(record)
 
-    # ---- analytic MFU from the compiled cost model ----------------------
+    # ---- MFU: XLA cost model + analytic Pallas-kernel flops ---------------
+    # cost_analysis() reports 0 for custom calls, so the XLA number alone
+    # understates utilization by the Pallas share of the step (most of it).
+    # utils/flops.py mirrors the kernels' executed arithmetic; the combined
+    # number is the honest one, and the MXU/VPU split says which unit the
+    # step is bound on (VPU ops run ~1-2% of MXU f32 peak per op).
     def mfu():
+        from garment4d_tpu.utils import flops as F
+
         cost = posed_fwd.lower(batch["pcd"], body).compile().cost_analysis()
-        flops = float(cost.get("flops", 0.0))
-        extra["posed_fwd_flops"] = flops
-        extra["posed_fwd_mfu_f32"] = round(flops / dt / PEAK_F32_FLOPS, 4)
+        xla_flops = float(cost.get("flops", 0.0))
+        pk = F.posed_forward_cost(B, T, N=N, Vg=assets.num_verts,
+                                  lbs_k=lbs_k)
+        total = xla_flops + pk.total
+        extra["posed_fwd_flops_xla"] = xla_flops
+        extra["posed_fwd_flops_pallas_mxu"] = pk.mxu
+        extra["posed_fwd_lane_ops_pallas_vpu"] = pk.vpu
+        extra["posed_fwd_mfu_f32"] = round(total / dt / PEAK_F32_FLOPS, 4)
+        extra["posed_fwd_mxu_fraction"] = round(
+            (xla_flops + pk.mxu) / max(total, 1.0), 4)
 
     section("cost-model MFU", 30, mfu)
 

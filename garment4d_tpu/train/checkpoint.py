@@ -96,3 +96,33 @@ def bootstrap_canonical(canonical_vars: dict, posed_vars: dict) -> dict:
         if coll in canonical_vars and coll in new_vars:
             new_vars[coll]["canonical"] = canonical_vars[coll]
     return new_vars
+
+
+def save_variables_npz(path: str, variables: dict) -> None:
+    """Flatten {params, batch_stats} to one compressed npz (the compact
+    single-file format for the checked-in synthetic-trained bench weights;
+    orbax stays the training-checkpoint format)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}, sep="/")
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_variables_npz(path: str, variables: dict) -> dict:
+    """Inverse of `save_variables_npz`: graft the saved arrays onto
+    `variables` (strict - tree structure and shapes must match, which holds
+    when the model was built with the same ctor args)."""
+    from flax import traverse_util
+
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = traverse_util.unflatten_dict(flat, sep="/")
+    new_vars = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if coll in tree and coll in new_vars:
+            new_vars[coll] = jax.tree_util.tree_map(
+                lambda old, new: np.asarray(new, np.asarray(old).dtype),
+                new_vars[coll], tree[coll])
+    return new_vars

@@ -171,3 +171,32 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
+
+
+class TestVariablesNpz:
+    def test_roundtrip(self, tmp_path, rng):
+        """save_variables_npz / load_variables_npz: the compact single-file
+        format bench.py uses for the synthetic-trained weights."""
+        from garment4d_tpu.train.checkpoint import (
+            load_variables_npz,
+            save_variables_npz,
+        )
+
+        variables = {
+            "params": {"dense": {"kernel": rng.randn(4, 8).astype(np.float32),
+                                 "bias": rng.randn(8).astype(np.float32)},
+                       "gcn0_0": {"weight": rng.randn(8, 3).astype(np.float32)}},
+            "batch_stats": {"bn": {"mean": rng.randn(8).astype(np.float32)}},
+            "constants": {"pca": rng.randn(2, 2).astype(np.float32)},
+        }
+        path = str(tmp_path / "w.npz")
+        save_variables_npz(path, variables)
+
+        target = jax.tree_util.tree_map(np.zeros_like, variables)
+        got = load_variables_npz(path, target)
+        for coll in ("params", "batch_stats"):
+            for a, b in zip(jax.tree_util.tree_leaves(got[coll]),
+                            jax.tree_util.tree_leaves(variables[coll])):
+                np.testing.assert_array_equal(a, b)
+        # constants are NOT serialised (rebuilt from assets at init)
+        assert np.all(got["constants"]["pca"] == 0)
