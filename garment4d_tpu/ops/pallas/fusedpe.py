@@ -13,9 +13,12 @@ s-major lane order, runs the whole matmul chain on the MXU, reduces the max
 over S contiguous TC-lane slices, and writes only the (F, TC) result. HBM
 traffic drops from ~5 GB to ~100 MB per refinement iteration.
 
-Forward-only: `ops.pemax` wraps it in custom_vjps whose backward recomputes
-the unfused reference formulation (the same trade `jax.checkpoint` makes
-for these blocks in training); the SA consumers are frozen/eval-only.
+`ops.pemax` wraps these in custom_vjps. The 2-layer PE blocks (the only
+fused consumers trained in the posed stage) backprop through
+`fused_pe_bwd_pallas` below - a VMEM-resident recompute+backward that never
+materialises a (B, M, S, *) intermediate in HBM; the L-layer chain
+(`group_chain_max`, frozen/eval-only SA consumers) keeps the unfused
+reference recompute for its rare backward.
 
 Replaces the HBM side of reference `group_points` + MLP + `max`
 (`modules/pointnet2/pointnet2/src/group_points_gpu.cu`,
@@ -28,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -198,3 +202,246 @@ def group_pe_max_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
     (B, M, G) = max_s (relu((gather - ctr_pad) @ k0 + b0) @ k1 + b1)."""
     return fused_chain_pallas(table, idx, centers, (k0, k1), (b0, b1),
                               (True, False), nsample)
+
+
+# ---------------------------------------------------------------------------
+# fused PE backward
+# ---------------------------------------------------------------------------
+#
+# The training backward of `group_pe_max` used to recompute the unfused
+# reference formulation under jax.vjp: every (B, M, S, *) intermediate (the
+# gathered neighbourhoods, both MLP activations, the max-routing masks and
+# their cotangents) materialises in HBM twice - measured as ~63 ms of
+# copies/pads per B=4 train step (PLAN round 2). This kernel runs the whole
+# backward per center tile in VMEM: recompute the forward chain, route the
+# cotangent through the max (JAX semantics: even split among exact ties),
+# backprop the two layers, and accumulate
+#   * dtable via in-kernel one-hot MXU scatter-add (same exact 3-term bf16
+#     payload split as ops/pallas/scatter.py),
+#   * the four weight/bias grads across all grid steps,
+#   * dcenters = -sum_s dqg[:3].
+# Only the final gradients touch HBM.
+
+_TC_BWD = 128  # center lanes per backward grid step (R = S * 128)
+_MAX_BWD_LIVE_BYTES = 12 * 1024 * 1024
+
+
+def pe_bwd_supported(n: int, c: int, s: int, f: int, g: int) -> bool:
+    """Backward-kernel shape gate (mirrors `chain_supported`). TC is fixed
+    at 128 lanes, so the gathered block is R = s*128 and the live set
+    scales with s * max(c, f, g)."""
+    n_pad = _round_up(n, 128)
+    c_pad = _round_up(c, 8)
+    if c_pad * n_pad * 4 > _MAX_TABLE_BYTES:
+        return False
+    if f > 128 or g > 128:
+        return False
+    f_p, g_p = _round_up(f, 8), _round_up(g, 8)
+    live = (3 * c_pad + 3 * f_p + 2 * g_p) * s * _TC_BWD * 4 \
+        + 2 * c_pad * n_pad * 4
+    if live > _MAX_BWD_LIVE_BYTES:
+        return False
+    return (n_pad // 128) * max(c_pad // 8, 1) <= 1024
+
+
+def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
+                   w1t_ref, w0f_ref, w1f_ref, dtable_ref, dctr_ref, dk0_ref,
+                   db0_ref, dk1_ref, db1_ref, *, S: int, TC: int,
+                   n_chunks: int, c_pad: int, f_p: int, g_p: int,
+                   lanes_c: int):
+    """Grid (B, m_tiles). table_ref (1, c_pad, n_pad) cf; idx_ref
+    (1, 1, R/128, 128) s-major; ctr_ref (1, 8, TC); gt_ref (1, g_p, TC)
+    cotangent cf; w0t (f_p, lanes_c) = k0^T padded; b0 (f_p, 128); w1t
+    (g_p, 128) = k1^T padded; w0f (c_pad, 128) = k0 padded; w1f (f_p, 128)
+    = k1 padded. Outputs: dtable (1, c_pad, n_pad) accumulated over m
+    tiles; dctr (1, 8, TC); dk0 (f_p, lanes_c), db0 (f_p, 128), dk1
+    (g_p, 128), db1 (g_p, 128) accumulated over the whole grid."""
+    R = S * TC
+    j_groups = R // 128
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero_weights():
+        dk0_ref[...] = jnp.zeros_like(dk0_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+        dk1_ref[...] = jnp.zeros_like(dk1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero_dtable():
+        dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
+
+    # ---- forward recompute (same math as _chain_kernel) -----------------
+    groups = []
+    for j in range(j_groups):
+        idxj = jnp.broadcast_to(idx_ref[0, 0, j:j + 1, :], (c_pad, 128))
+        chunk_id = idxj // 128
+        local = idxj - chunk_id * 128
+        gj = jnp.zeros((c_pad, 128), jnp.float32)
+        for c in range(n_chunks):
+            chunk = table_ref[0, :, c * 128:(c + 1) * 128]
+            got = jnp.take_along_axis(chunk, local, axis=1)
+            gj = jnp.where(chunk_id == c, got, gj)
+        groups.append(gj)
+    ctr = ctr_ref[0]  # (8, TC)
+    if c_pad > 8:
+        ctr = jnp.pad(ctr, ((0, c_pad - 8), (0, 0)))
+    qg = jnp.concatenate(groups, axis=1) - jnp.concatenate([ctr] * S, axis=1)
+
+    hpre = jnp.dot(w0t_ref[:, :c_pad], qg,
+                   preferred_element_type=jnp.float32) + b0_ref[:, 0:1]
+    h = jnp.maximum(hpre, 0.0)
+    h2 = jnp.dot(w1t_ref[:, :f_p], h,
+                 preferred_element_type=jnp.float32)  # (g_p, R); +b1 cancels
+    out = h2[:, :TC]
+    for s in range(1, S):
+        out = jnp.maximum(out, h2[:, s * TC:(s + 1) * TC])
+
+    # ---- max routing: even split among exact ties (JAX reduce_max VJP) --
+    cnt = jnp.zeros((g_p, TC), jnp.float32)
+    for s in range(S):
+        cnt = cnt + (h2[:, s * TC:(s + 1) * TC] == out).astype(jnp.float32)
+    gt = gt_ref[0] / cnt  # padded rows/cols: gt == 0 -> contributions 0
+    parts = [jnp.where(h2[:, s * TC:(s + 1) * TC] == out, gt, 0.0)
+             for s in range(S)]
+    dh2 = jnp.concatenate(parts, axis=1)  # (g_p, R)
+
+    # ---- layer backprop ---------------------------------------------------
+    db1_ref[...] += jnp.broadcast_to(
+        jnp.sum(dh2, axis=1, keepdims=True), db1_ref.shape)
+    dk1 = lax.dot_general(dh2, h, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # (g_p, f_p)
+    dk1_ref[...] += jnp.pad(dk1, ((0, 0), (0, 128 - f_p)))
+    dh1 = jnp.dot(w1f_ref[:, :g_p], dh2,
+                  preferred_element_type=jnp.float32)
+    dh1 = jnp.where(hpre > 0.0, dh1, 0.0)  # (f_p, R)
+    db0_ref[...] += jnp.broadcast_to(
+        jnp.sum(dh1, axis=1, keepdims=True), db0_ref.shape)
+    dk0 = lax.dot_general(dh1, qg, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # (f_p, c_pad)
+    dk0_ref[...] += jnp.pad(dk0, ((0, 0), (0, lanes_c - c_pad)))
+    dqg = jnp.dot(w0f_ref[:, :f_p], dh1,
+                  preferred_element_type=jnp.float32)  # (c_pad, R)
+
+    # ---- dcenters: -sum_s dqg slice, xyz sublanes ------------------------
+    dctr = dqg[:8, :TC]
+    for s in range(1, S):
+        dctr = dctr + dqg[:8, s * TC:(s + 1) * TC]
+    dctr_ref[0] = -dctr
+
+    # ---- dtable: one-hot MXU scatter-add, exact 3-term payload split ----
+    lane_n = lax.broadcasted_iota(jnp.int32, (128, dtable_ref.shape[-1]),
+                                  dimension=1)
+    acc = dtable_ref[0]
+    for j in range(j_groups):
+        idxj = idx_ref[0, 0, j, :].reshape(1, 128)
+        onehot = (lane_n == idxj.reshape(128, 1)).astype(jnp.float32)
+        payload = dqg[:, j * 128:(j + 1) * 128]  # (c_pad, 128)
+        hi = payload.astype(jnp.bfloat16).astype(jnp.float32)
+        mid_f = payload - hi
+        mid = mid_f.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = mid_f - mid
+        for part in (hi, mid, lo):
+            acc = acc + jnp.dot(part, onehot,
+                                preferred_element_type=jnp.float32)
+    dtable_ref[0] = acc
+
+
+def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
+                        k0: jax.Array, b0: jax.Array, k1: jax.Array,
+                        b1: jax.Array, nsample: int, cot: jax.Array):
+    """VJP of `group_pe_max_pallas` w.r.t. (table, centers, k0, b0, k1, b1).
+
+    cot (B, M, G) is the output cotangent. Returns gradients with the
+    callers' shapes/dtypes. b1's gradient is sum(cot) (the bias is inside
+    the max but constant across S, so it cancels out of the tie routing).
+    """
+    B, N, C = table.shape
+    M = idx.shape[1]
+    S = nsample
+    F, G = k0.shape[1], k1.shape[1]
+    n_pad = _round_up(N, 128)
+    c_pad = _round_up(C, 8)
+    f_p, g_p = _round_up(F, 8), _round_up(G, 8)
+    lanes_c = _round_up(c_pad, 128)
+    TC = _TC_BWD
+    m_pad = _round_up(M, TC)
+
+    t = jnp.transpose(table, (0, 2, 1)).astype(jnp.float32)
+    t = jnp.pad(t, ((0, 0), (0, c_pad - C), (0, n_pad - N)))
+    ix = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, m_pad - M), (0, 0)))
+    ix = ix.reshape(B, m_pad // TC, TC, S)
+    ix = jnp.transpose(ix, (0, 1, 3, 2)).reshape(
+        B, m_pad // TC, (S * TC) // 128, 128)
+    ctr = jnp.transpose(centers.astype(jnp.float32), (0, 2, 1))
+    ctr = jnp.pad(ctr, ((0, 0), (0, 5), (0, m_pad - M)))
+    gt = jnp.transpose(cot.astype(jnp.float32), (0, 2, 1))
+    gt = jnp.pad(gt, ((0, 0), (0, g_p - G), (0, m_pad - M)))
+
+    w0t = jnp.pad(jnp.transpose(k0.astype(jnp.float32)),
+                  ((0, f_p - F), (0, lanes_c - C)))
+    b0p = jnp.broadcast_to(
+        jnp.pad(b0.astype(jnp.float32), (0, f_p - F))[:, None], (f_p, 128))
+    w1t = jnp.pad(jnp.transpose(k1.astype(jnp.float32)),
+                  ((0, g_p - G), (0, 128 - F)))
+    w0f = jnp.pad(k0.astype(jnp.float32), ((0, c_pad - C), (0, 128 - F)))
+    w1f = jnp.pad(k1.astype(jnp.float32), ((0, f_p - F), (0, 128 - G)))
+
+    kern = functools.partial(
+        _pe_bwd_kernel, S=S, TC=TC, n_chunks=n_pad // 128, c_pad=c_pad,
+        f_p=f_p, g_p=g_p, lanes_c=lanes_c)
+    dtable, dctr, dk0, db0, dk1, db1 = pl.pallas_call(
+        kern,
+        grid=(B, m_pad // TC),
+        in_specs=[
+            pl.BlockSpec((1, c_pad, n_pad), lambda b_, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, (S * TC) // 128, 128),
+                         lambda b_, j: (b_, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TC), lambda b_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_p, TC), lambda b_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_p, lanes_c), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c_pad, n_pad), lambda b_, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TC), lambda b_, j: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_p, lanes_c), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_p, 128), lambda b_, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, c_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((f_p, lanes_c), jnp.float32),
+            jax.ShapeDtypeStruct((f_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
+        ),
+    )(t, ix, ctr, gt, w0t, b0p, w1t, w0f, w1f)
+
+    d_table = jnp.transpose(dtable[:, :C, :N], (0, 2, 1)).astype(table.dtype)
+    d_centers = jnp.transpose(dctr[:, :3, :M], (0, 2, 1)).astype(centers.dtype)
+    d_k0 = jnp.transpose(dk0[:F, :C]).astype(k0.dtype)
+    d_b0 = db0[:F, 0].astype(b0.dtype)
+    d_k1 = jnp.transpose(dk1[:G, :F]).astype(k1.dtype)
+    d_b1 = db1[:G, 0].astype(b1.dtype)
+    return d_table, d_centers, d_k0, d_b0, d_k1, d_b1

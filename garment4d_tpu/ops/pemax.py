@@ -84,6 +84,21 @@ def _pe_fwd(table, idx, centers, k0, b0, k1, b1):
 
 def _pe_bwd(res, g):
     table, idx, centers, k0, b0, k1, b1 = res
+    if jax.default_backend() == "tpu" and table.dtype == jnp.float32:
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_pe_bwd_pallas,
+            pe_bwd_supported,
+        )
+
+        if pe_bwd_supported(table.shape[1], table.shape[2], idx.shape[2],
+                            k0.shape[1], k1.shape[1]):
+            # fused VMEM-resident backward: recompute + max routing + both
+            # layer backprops + in-kernel dtable scatter, so no (B, M, S, *)
+            # intermediate ever materialises in HBM (the old jax.vjp
+            # recompute cost ~63 ms of copies/pads per B=4 train step)
+            dt, dc, dk0, db0, dk1, db1 = fused_pe_bwd_pallas(
+                table, idx, centers, k0, b0, k1, b1, int(idx.shape[2]), g)
+            return dt, None, dc, dk0, db0, dk1, db1
     _, vjp = jax.vjp(
         lambda t, c, a0, a1, a2, a3: _pe_reference(t, idx, c, a0, a1, a2, a3),
         table, centers, k0, b0, k1, b1)
