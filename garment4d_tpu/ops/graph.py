@@ -202,7 +202,8 @@ def _gcn_stack_ref(xs, weights, biases, adj, offsets, relus, hidden_layer):
     hidden = None
     for i, (w, b, r) in enumerate(zip(weights, biases, relus)):
         support = jnp.einsum("...vc,cf->...vf", h, w,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         if offsets is not None:
             h = graph_matmul_banded(adj, support, offsets) + b
         else:

@@ -76,7 +76,12 @@ def _stack_kernel(vals_ref, *refs, offsets, relus, v_valid: int, v_pad: int,
     for i in range(n_pieces):
         xi = x_refs[i][0]       # (C_i, V) channel-first
         wi = w0_refs[i][...]    # (F0, C_i)
-        t = jnp.dot(wi, xi, preferred_element_type=jnp.float32)  # (F0, V)
+        # precision=HIGHEST on the layer matmuls (here and below): the GCN
+        # emits geometry (vertex offsets); the default single-pass bf16
+        # multiply drifts the fused stack from the HIGHEST-precision XLA
+        # path (tools/verify_tpu.py caught 3e-4 forward deviations)
+        t = jnp.dot(wi, xi, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (F0, V)
         support = t if support is None else support + t
     if v_pad != v_valid:
         support = jnp.pad(support, ((0, 0), (0, v_pad - v_valid)))
@@ -89,7 +94,8 @@ def _stack_kernel(vals_ref, *refs, offsets, relus, v_valid: int, v_pad: int,
     for l in range(1, n_weights):
         wt = w_refs[2 * (l - 1)][...]     # (F_l, F_{l-1})
         b = w_refs[2 * (l - 1) + 1][...]  # (F_l, 1)
-        support = jnp.dot(wt, h, preferred_element_type=jnp.float32)
+        support = jnp.dot(wt, h, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         h = _banded_cf(support, vals_ref, offsets, v_valid) + b
         if relus[l]:
             h = jnp.maximum(h, 0.0)

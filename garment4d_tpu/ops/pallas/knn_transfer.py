@@ -107,14 +107,21 @@ def _kernel(body_ref, garment_ref, w0_ref, outk_ref, out64_ref, idx_ref, *,
     t_k = _kth_bits(bits, k, minb, maxb)
     w0 = w0_ref[0]  # (Np, Jp)
     wk = _select_weights(bits, d2, t_k, k, tile_m)
-    outk_ref[0] = jnp.dot(wk, w0, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: skinning weights are geometry-critical, and the
+    # default single-pass bf16 multiply drifts ~1e-3 relative from the
+    # HIGHEST-precision XLA fallback (caught on-chip by tools/verify_tpu.py:
+    # 20% of weights outside 2e-5). The contraction is a tiny share of the
+    # kernel (the distance scan + bit bisection dominate).
+    outk_ref[0] = jnp.dot(wk, w0, preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)
 
     if k64 == k:
         out64_ref[0] = outk_ref[0]
     else:
         t_64 = _kth_bits(bits, k64, minb, t_k)  # k64 < k => t_64 <= t_k
         w64 = _select_weights(bits, d2, t_64, k64, tile_m)
-        out64_ref[0] = jnp.dot(w64, w0, preferred_element_type=jnp.float32)
+        out64_ref[0] = jnp.dot(w64, w0, preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

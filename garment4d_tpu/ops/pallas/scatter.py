@@ -46,10 +46,26 @@ def _kernel(grads_ref, idx_ref, out_ref, *, c_pad: int, n_pad: int,
         idxj = idx_ref[0, j, :].reshape(128, 1)  # (128, 1)
         onehot = (lane_n == idxj).astype(jnp.float32)  # (128, N_pad)
         payload = grads_ref[0, j * 128:(j + 1) * 128, :]  # (128, C_pad)
-        # contract the 128 input rows: (C_pad, N_pad) partial sum on the MXU
-        acc = acc + lax.dot_general(
-            payload, onehot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # contract the 128 input rows: (C_pad, N_pad) partial sum on the MXU.
+        # The default single-pass bf16 multiply truncates the payload to
+        # bf16 even against an exact 0/1 one-hot operand (caught on-chip by
+        # tools/verify_tpu.py: 3.5% of sums off by up to 0.034, vs the
+        # reference's full-f32 atomicAdd). Fix: split the payload into 3
+        # exactly-bf16-representable terms (8 mantissa bits each = all 24)
+        # and run 3 DEFAULT-precision dots - every product is exact (the
+        # one-hot is exact in bf16), accumulation stays f32, so the result
+        # matches full-f32 products to accumulation rounding. (HIGHEST would
+        # do the same in 6 passes but its temporaries blow the 16 MB
+        # scoped-vmem stack at the canonical garment_sa1 shape: 21.2 MB;
+        # Mosaic does not implement precision=HIGH.)
+        hi = payload.astype(jnp.bfloat16).astype(jnp.float32)
+        mid_f = payload - hi
+        mid = mid_f.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = mid_f - mid
+        for part in (hi, mid, lo):
+            acc = acc + lax.dot_general(
+                part, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     out_ref[0] = acc
 
 
