@@ -329,22 +329,33 @@ def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
         dctr = dctr + dqg[:8, s * TC:(s + 1) * TC]
     dctr_ref[0] = -dctr
 
-    # ---- dtable: one-hot MXU scatter-add, exact 3-term payload split ----
+    # ---- dtable: one-hot MXU scatter-add, exact 3-term payload split.
+    # fori_loop (not an unrolled python loop) so Mosaic reuses one
+    # iteration's stack - unrolled, the 32 groups' one-hot temporaries
+    # blew the 16 MB scoped-vmem limit at the full-body branch (19.8 MB).
+    # The one-hot and the split terms are built in bf16 directly: every
+    # value is exactly bf16-representable and the DEFAULT-precision MXU
+    # pass multiplies in bf16 regardless, so this halves the temporaries
+    # without changing a bit of the result.
     lane_n = lax.broadcasted_iota(jnp.int32, (128, dtable_ref.shape[-1]),
                                   dimension=1)
-    acc = dtable_ref[0]
-    for j in range(j_groups):
-        idxj = idx_ref[0, 0, j, :].reshape(1, 128)
-        onehot = (lane_n == idxj.reshape(128, 1)).astype(jnp.float32)
-        payload = dqg[:, j * 128:(j + 1) * 128]  # (c_pad, 128)
-        hi = payload.astype(jnp.bfloat16).astype(jnp.float32)
-        mid_f = payload - hi
-        mid = mid_f.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = mid_f - mid
+
+    def jbody(j, _):
+        idxj = idx_ref[0, 0, j, :].reshape(128, 1)
+        onehot = (lane_n == idxj).astype(jnp.bfloat16)
+        payload = lax.dynamic_slice_in_dim(dqg, j * 128, 128, axis=1)
+        hi = payload.astype(jnp.bfloat16)
+        mid_f = payload - hi.astype(jnp.float32)
+        mid = mid_f.astype(jnp.bfloat16)
+        lo = (mid_f - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = dtable_ref[0]
         for part in (hi, mid, lo):
             acc = acc + jnp.dot(part, onehot,
                                 preferred_element_type=jnp.float32)
-    dtable_ref[0] = acc
+        dtable_ref[0] = acc
+        return 0
+
+    lax.fori_loop(0, j_groups, jbody, 0)
 
 
 def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
