@@ -124,7 +124,12 @@ def _knn_transfer_impl(garment, body, w0, k, k64):
 
 
 def _knn_transfer_xla(garment, body, w0, k, k64):
-    d2 = ops.pairwise_sqdist(garment, body)
+    # exact=True: coordinate differences on the VPU, like the Pallas kernel
+    # and the reference's chamferdist scan. The default expansion form
+    # (|a|^2+|b|^2-2ab) cancels catastrophically at small distances - d2
+    # drifts ~1e-3 relative for near neighbours, which feeds 1/d^2 weights
+    # and put 10% of transferred weights outside 2e-5 of the kernel's.
+    d2 = ops.pairwise_sqdist(garment, body, exact=True)
     nn1_idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
     nn_w_k = _masked_weight_transfer(d2, w0, k)
     nn_w_64 = nn_w_k if k64 == k else _masked_weight_transfer(d2, w0, k64)

@@ -246,7 +246,7 @@ def pe_bwd_supported(n: int, c: int, s: int, f: int, g: int) -> bool:
 
 def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
                    w1t_ref, w0f_ref, w1f_ref, dtable_ref, dctr_ref, dk0_ref,
-                   db0_ref, dk1_ref, db1_ref, *, S: int, TC: int,
+                   db0_ref, dk1_ref, db1_ref, dqg_scr, *, S: int, TC: int,
                    n_chunks: int, c_pad: int, f_p: int, g_p: int,
                    lanes_c: int):
     """Grid (B, m_tiles). table_ref (1, c_pad, n_pad) cf; idx_ref
@@ -333,17 +333,22 @@ def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
     # fori_loop (not an unrolled python loop) so Mosaic reuses one
     # iteration's stack - unrolled, the 32 groups' one-hot temporaries
     # blew the 16 MB scoped-vmem limit at the full-body branch (19.8 MB).
-    # The one-hot and the split terms are built in bf16 directly: every
-    # value is exactly bf16-representable and the DEFAULT-precision MXU
-    # pass multiplies in bf16 regardless, so this halves the temporaries
-    # without changing a bit of the result.
+    # Mosaic cannot lower dynamic_slice of a *value* inside the loop, so
+    # dqg is staged group-major into a VMEM scratch first (static writes)
+    # and the body reads dqg_scr[j] - a dynamic leading-dim ref load, which
+    # IS supported. The one-hot and the split terms are built in bf16
+    # directly: every value is exactly bf16-representable and the
+    # DEFAULT-precision MXU pass multiplies in bf16 regardless, so this
+    # halves the temporaries without changing a bit of the result.
     lane_n = lax.broadcasted_iota(jnp.int32, (128, dtable_ref.shape[-1]),
                                   dimension=1)
+    for j in range(j_groups):
+        dqg_scr[j] = dqg[:, j * 128:(j + 1) * 128]
 
     def jbody(j, _):
         idxj = idx_ref[0, 0, j, :].reshape(128, 1)
         onehot = (lane_n == idxj).astype(jnp.bfloat16)
-        payload = lax.dynamic_slice_in_dim(dqg, j * 128, 128, axis=1)
+        payload = dqg_scr[j]
         hi = payload.astype(jnp.bfloat16)
         mid_f = payload - hi.astype(jnp.float32)
         mid = mid_f.astype(jnp.bfloat16)
@@ -447,6 +452,8 @@ def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
             jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
             jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM(((S * TC) // 128, c_pad, 128),
+                                   jnp.float32)],
     )(t, ix, ctr, gt, w0t, b0p, w1t, w0f, w1f)
 
     d_table = jnp.transpose(dtable[:, :C, :N], (0, 2, 1)).astype(table.dtype)

@@ -81,10 +81,62 @@ def _select_weights(bits, d2, t, k: int, tile_m: int):
     return jnp.where(jnp.isinf(w), 0.0, w)
 
 
-def _kernel(body_ref, garment_ref, w0_ref, outk_ref, out64_ref, idx_ref, *,
-            k: int, k64: int, n_valid: int, tile_m: int):
-    """body_ref (1, 3, Np); garment_ref (1, Tm, 3); w0_ref (1, Np, Jp);
-    outk/out64 (1, Tm, Jp); idx_ref (1, Tm, 128)."""
+def _split3(x):
+    """Split f32 into 3 exactly-representable bf16 terms (8 mantissa bits
+    each covers all 24). IN-KERNEL (Mosaic) USE ONLY: Mosaic lowers the
+    convert round-trips literally (verified on-chip). XLA:TPU must NOT
+    trace this - the axon terminal compiles with
+    --xla_allow_excess_precision=true, whose simplifier cancels
+    f32(bf16(x)) back to x, collapsing mid/lo to ZERO and silently
+    truncating the split to bf16 (caught on-chip: w0 drifted 2e-3
+    relative). Use `_split3_xla` outside kernels."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _split3_xla(x):
+    """Excess-precision-proof 3-term bf16 split for XLA-traced (host-side)
+    code: `lax.reduce_precision` rounds in-dtype, so the simplifier cannot
+    cancel it against the full-precision input (verified exact on-chip
+    where the convert form collapsed)."""
+    hi_f = lax.reduce_precision(x, 8, 7)
+    r1 = x - hi_f
+    mid_f = lax.reduce_precision(r1, 8, 7)
+    lo_f = lax.reduce_precision(r1 - mid_f, 8, 7)
+    return (hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+            lo_f.astype(jnp.bfloat16))
+
+
+def _dot_f32(wk, w0h, w0m, w0l):
+    """f32-accurate (Tm, N) @ (N, Jp) on the MXU without precision=HIGHEST.
+
+    Skinning weights are geometry-critical: the default single-pass bf16
+    multiply drifts ~1e-3 relative from the HIGHEST-precision XLA fallback
+    (caught on-chip by tools/verify_tpu.py: 20% of weights outside 2e-5).
+    But precision=HIGHEST here makes the Mosaic backend compiler crash
+    (tpu_compile_helper exit 1 - its 6-pass expansion temporaries on top of
+    the kernel's ~12 MB of (Tm, Np) f32 live values). Equivalent math,
+    explicit: both operands are split into 3 exact bf16 terms (w0's split
+    is precomputed host-side so only wk's 3 small terms hit the stack) and
+    the 6 term products with combined magnitude >= 2^-24 are summed in f32;
+    each bf16 x bf16 product is exact (16 mantissa bits < f32's 24), the 3
+    omitted terms are below f32 rounding of the result."""
+    h, m, l = _split3(wk)
+    acc = jnp.dot(h, w0h, preferred_element_type=jnp.float32)
+    for a, b in ((h, w0m), (m, w0h), (h, w0l), (l, w0h), (m, w0m)):
+        acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(body_ref, garment_ref, w0h_ref, w0m_ref, w0l_ref, outk_ref,
+            out64_ref, idx_ref, *, k: int, k64: int, n_valid: int,
+            tile_m: int):
+    """body_ref (1, 3, Np); garment_ref (1, Tm, 3); w0{h,m,l}_ref
+    (1, Np, Jp) bf16 split terms; outk/out64 (1, Tm, Jp); idx_ref
+    (1, Tm, 128)."""
     n_pad = body_ref.shape[-1]
     cx = garment_ref[0, :, 0:1]
     cy = garment_ref[0, :, 1:2]
@@ -105,23 +157,16 @@ def _kernel(body_ref, garment_ref, w0_ref, outk_ref, out64_ref, idx_ref, *,
     idx_ref[0] = jnp.broadcast_to(nn1, (tile_m, 128))
 
     t_k = _kth_bits(bits, k, minb, maxb)
-    w0 = w0_ref[0]  # (Np, Jp)
+    w0h, w0m, w0l = w0h_ref[0], w0m_ref[0], w0l_ref[0]  # (Np, Jp) bf16
     wk = _select_weights(bits, d2, t_k, k, tile_m)
-    # precision=HIGHEST: skinning weights are geometry-critical, and the
-    # default single-pass bf16 multiply drifts ~1e-3 relative from the
-    # HIGHEST-precision XLA fallback (caught on-chip by tools/verify_tpu.py:
-    # 20% of weights outside 2e-5). The contraction is a tiny share of the
-    # kernel (the distance scan + bit bisection dominate).
-    outk_ref[0] = jnp.dot(wk, w0, preferred_element_type=jnp.float32,
-                          precision=lax.Precision.HIGHEST)
+    outk_ref[0] = _dot_f32(wk, w0h, w0m, w0l)
 
     if k64 == k:
         out64_ref[0] = outk_ref[0]
     else:
         t_64 = _kth_bits(bits, k64, minb, t_k)  # k64 < k => t_64 <= t_k
         w64 = _select_weights(bits, d2, t_64, k64, tile_m)
-        out64_ref[0] = jnp.dot(w64, w0, preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
+        out64_ref[0] = _dot_f32(w64, w0h, w0m, w0l)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -142,7 +187,10 @@ def knn_weight_transfer_pallas(garment: jax.Array, body: jax.Array,
         cent = jnp.pad(cent, ((0, 0), (0, m_pad - Vg), (0, 0)))
     w0p = jnp.pad(w0.astype(jnp.float32),
                   ((0, 0), (0, n_pad - N), (0, _J_PAD - J)))
+    w0hi, w0mid, w0lo = _split3_xla(w0p)  # host-side exact 3-term split
 
+    w0_spec = pl.BlockSpec((1, n_pad, _J_PAD), lambda b, m: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, k=int(k), k64=int(k64), n_valid=N,
                              tile_m=_TILE_M)
     outk, out64, idx = pl.pallas_call(
@@ -153,8 +201,7 @@ def knn_weight_transfer_pallas(garment: jax.Array, body: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE_M, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, _J_PAD), lambda b, m: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w0_spec, w0_spec, w0_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, _TILE_M, _J_PAD), lambda b, m: (b, m, 0),
@@ -169,5 +216,5 @@ def knn_weight_transfer_pallas(garment: jax.Array, body: jax.Array,
             jax.ShapeDtypeStruct((B, m_pad, _J_PAD), jnp.float32),
             jax.ShapeDtypeStruct((B, m_pad, 128), jnp.int32),
         ),
-    )(body_t, cent, w0p)
+    )(body_t, cent, w0hi, w0mid, w0lo)
     return (outk[:, :Vg, :J], out64[:, :Vg, :J], idx[:, :Vg, 0:1])

@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(grads_ref, idx_ref, out_ref, *, c_pad: int, n_pad: int,
             j_groups: int):
-    """grads_ref (1, R_tile, C_pad); idx_ref (1, R_tile/128, 128);
+    """grads_ref (1, R_tile/128, 128, C_pad); idx_ref (1, R_tile/128, 128);
     out_ref (1, C_pad, N_pad), accumulated across the r grid dimension."""
 
     @pl.when(pl.program_id(1) == 0)
@@ -41,32 +41,38 @@ def _kernel(grads_ref, idx_ref, out_ref, *, c_pad: int, n_pad: int,
         out_ref[0] = jnp.zeros((c_pad, n_pad), jnp.float32)
 
     lane_n = lax.broadcasted_iota(jnp.int32, (128, n_pad), dimension=1)
-    acc = out_ref[0]
-    for j in range(j_groups):
+
+    # contract each 128-row input group: (C_pad, N_pad) partial sum on the
+    # MXU. The default single-pass bf16 multiply truncates the payload to
+    # bf16 even against an exact 0/1 one-hot operand (caught on-chip by
+    # tools/verify_tpu.py: 3.5% of sums off by up to 0.034, vs the
+    # reference's full-f32 atomicAdd). Fix: split the payload into 3
+    # exactly-bf16-representable terms (8 mantissa bits each = all 24) and
+    # run 3 DEFAULT-precision dots - every product is exact (the one-hot is
+    # exact in bf16), accumulation stays f32, so the result matches
+    # full-f32 products to accumulation rounding. (HIGHEST would do the
+    # same in 6 passes but its temporaries blow the 16 MB scoped-vmem
+    # stack; Mosaic does not implement precision=HIGH.) fori_loop, not an
+    # unrolled python loop: unrolled, the 8 groups' (128, N_pad) one-hot
+    # temporaries all stay live and blow scoped vmem at body-size N -
+    # the compile helper dies before any numerics run.
+    def jbody(j, _):
         idxj = idx_ref[0, j, :].reshape(128, 1)  # (128, 1)
-        onehot = (lane_n == idxj).astype(jnp.float32)  # (128, N_pad)
-        payload = grads_ref[0, j * 128:(j + 1) * 128, :]  # (128, C_pad)
-        # contract the 128 input rows: (C_pad, N_pad) partial sum on the MXU.
-        # The default single-pass bf16 multiply truncates the payload to
-        # bf16 even against an exact 0/1 one-hot operand (caught on-chip by
-        # tools/verify_tpu.py: 3.5% of sums off by up to 0.034, vs the
-        # reference's full-f32 atomicAdd). Fix: split the payload into 3
-        # exactly-bf16-representable terms (8 mantissa bits each = all 24)
-        # and run 3 DEFAULT-precision dots - every product is exact (the
-        # one-hot is exact in bf16), accumulation stays f32, so the result
-        # matches full-f32 products to accumulation rounding. (HIGHEST would
-        # do the same in 6 passes but its temporaries blow the 16 MB
-        # scoped-vmem stack at the canonical garment_sa1 shape: 21.2 MB;
-        # Mosaic does not implement precision=HIGH.)
-        hi = payload.astype(jnp.bfloat16).astype(jnp.float32)
-        mid_f = payload - hi
-        mid = mid_f.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = mid_f - mid
+        onehot = (lane_n == idxj).astype(jnp.bfloat16)  # (128, N_pad)
+        payload = grads_ref[0, j]  # (128, C_pad) f32
+        hi = payload.astype(jnp.bfloat16)
+        mid_f = payload - hi.astype(jnp.float32)
+        mid = mid_f.astype(jnp.bfloat16)
+        lo = (mid_f - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = out_ref[0]
         for part in (hi, mid, lo):
             acc = acc + lax.dot_general(
                 part, onehot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    out_ref[0] = acc
+        out_ref[0] = acc
+        return 0
+
+    lax.fori_loop(0, j_groups, jbody, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -89,6 +95,7 @@ def scatter_add_rows_pallas(grads: jax.Array, idx: jax.Array,
     # .at[].add with default mode="fill"/drop semantics for OOB)
     ix = jnp.where((ix >= 0) & (ix < n), ix, jnp.int32(n_pad))
     ix = ix.reshape(B, r_pad // 128, 128)
+    g = g.reshape(B, r_pad // 128, 128, c_pad)
 
     kern = functools.partial(_kernel, c_pad=c_pad, n_pad=n_pad,
                              j_groups=_R_TILE // 128)
@@ -96,7 +103,8 @@ def scatter_add_rows_pallas(grads: jax.Array, idx: jax.Array,
         kern,
         grid=(B, r_pad // _R_TILE),
         in_specs=[
-            pl.BlockSpec((1, _R_TILE, c_pad), lambda b, r: (b, r, 0),
+            pl.BlockSpec((1, _R_TILE // 128, 128, c_pad),
+                         lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _R_TILE // 128, 128), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),

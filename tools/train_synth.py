@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--resume-canonical", action="store_true",
+                   help="restore <out>/canonical instead of retraining "
+                        "stage 1 (posed stage only)")
     args = p.parse_args(argv)
 
     import jax
@@ -152,19 +155,25 @@ def main(argv=None):
             step += 1
         return good  # last known-finite state
 
-    log(f"canonical stage: {args.steps_canonical} steps (compiling...)")
-
-    def canon_report(state):
-        acc, ev_loss, msre = eval_canonical(state)
-        return f"eval_loss={ev_loss:8.4f} seg_acc={acc:.4f} msre={msre:.4f}"
-
-    state = run_stage("canonical", state, args.steps_canonical, c_train,
-                      canon_report)
-
     canon_dir = os.path.join(os.path.abspath(args.out), "canonical")
-    ckpt_lib.save_checkpoint(canon_dir, state, epoch=0)
-    final_acc, _, _ = eval_canonical(state)
-    log(f"canonical done: seg_acc={final_acc:.4f}, saved {canon_dir}")
+    if args.resume_canonical and os.path.isdir(canon_dir):
+        state, _, _ = ckpt_lib.restore_checkpoint(canon_dir, state)
+        final_acc, _, _ = eval_canonical(state)
+        log(f"canonical restored from {canon_dir}: seg_acc={final_acc:.4f}")
+    else:
+        log(f"canonical stage: {args.steps_canonical} steps (compiling...)")
+
+        def canon_report(state):
+            acc, ev_loss, msre = eval_canonical(state)
+            return (f"eval_loss={ev_loss:8.4f} seg_acc={acc:.4f} "
+                    f"msre={msre:.4f}")
+
+        state = run_stage("canonical", state, args.steps_canonical, c_train,
+                          canon_report)
+
+        ckpt_lib.save_checkpoint(canon_dir, state, epoch=0)
+        final_acc, _, _ = eval_canonical(state)
+        log(f"canonical done: seg_acc={final_acc:.4f}, saved {canon_dir}")
     canonical_vars = {"params": state.params,
                       "batch_stats": state.batch_stats}
 
