@@ -103,15 +103,45 @@ def _time_fn(run, sync, iters=10):
 
 def _maybe_inject_fault(point: str) -> None:
     """Test hook: `G4D_BENCH_FAULT={pre_headline,post_headline}` makes the
-    FIRST worker attempt die at that point with a relay-shaped error, so the
-    supervisor's recovery path can be exercised end-to-end (tests/test_bench.py)."""
-    if (os.environ.get("G4D_BENCH_FAULT") == point
-            and os.environ.get("G4D_BENCH_ATTEMPT") == "1"):
+    FIRST worker attempt die at that point with a relay-shaped error, and
+    `G4D_BENCH_FAULT=hang_{pre,post}_headline` makes it HANG there (a wedged
+    chip blocks host fetches forever instead of raising - the BENCH_r03
+    failure shape), so the supervisor's crash AND stall recovery paths can be
+    exercised end-to-end (tests/test_bench.py)."""
+    fault = os.environ.get("G4D_BENCH_FAULT")
+    if os.environ.get("G4D_BENCH_ATTEMPT") != "1" or not fault:
+        return
+    if fault == point:
         _progress(f"injecting fault at {point}")
         raise RuntimeError("FAILED_PRECONDITION: injected relay fault")
+    if fault == f"hang_{point}":
+        _progress(f"injecting hang at {point}")
+        while True:  # simulated wedged-chip fetch: silent, unbounded
+            time.sleep(3600)
+
+
+def _arm_worker_watchdog() -> None:
+    """Belt to the supervisor's braces: a daemon thread that hard-exits the
+    worker once the global deadline passes, even while the main thread is
+    stuck inside a device fetch that will never return."""
+    import threading
+
+    deadline = float(os.environ.get(_DEADLINE_ENV, _T0 + BUDGET_S))
+
+    def watch():
+        while True:
+            left = deadline - time.time()
+            if left <= 0:
+                _progress("worker watchdog: global deadline passed "
+                          "mid-call; hard-exiting")
+                os._exit(3)
+            time.sleep(min(30.0, left))
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def worker(headline_only: bool) -> int:
+    _arm_worker_watchdog()
     import jax
 
     if os.environ.get("G4D_BENCH_PLATFORM"):
@@ -182,9 +212,16 @@ def worker(headline_only: bool) -> int:
     # seg selection), so the honest throughput number uses the checked-in
     # synthetic-convergence checkpoint (tools/train_synth.py) when present.
     # G4D_BENCH_WEIGHTS=random forces random-init; =<path> loads that npz.
-    weights = os.environ.get("G4D_BENCH_WEIGHTS") or os.path.join(
+    weights_env = os.environ.get("G4D_BENCH_WEIGHTS")
+    weights = weights_env or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "ckpt_synth", "posed_synth.npz")
+    if weights_env and weights_env != "random" and not os.path.exists(weights):
+        # an EXPLICIT path must not silently fall back to random-init (it
+        # would change what the headline record measures); only the default
+        # ckpt_synth location is allowed to be absent
+        raise FileNotFoundError(
+            f"G4D_BENCH_WEIGHTS={weights_env!r} does not exist")
     if (weights != "random" and os.path.exists(weights)
             and os.environ.get("G4D_BENCH_SHAPES") != "tiny"):
         from garment4d_tpu.train.checkpoint import load_variables_npz
@@ -245,10 +282,16 @@ def worker(headline_only: bool) -> int:
     def mfu():
         from garment4d_tpu.utils import flops as F
 
+        if os.environ.get("G4D_BENCH_SHAPES") == "tiny":
+            # the analytic inventory hardcodes the PRODUCTION call sites
+            # (FPS 6890->1024, 3 refinement iterations); at tiny test shapes
+            # it would count work that never runs, so skip the whole section
+            _progress("skipping MFU: analytic kernel inventory is only "
+                      "valid at production shapes")
+            return
         cost = posed_fwd.lower(batch["pcd"], body).compile().cost_analysis()
         xla_flops = float(cost.get("flops", 0.0))
-        pk = F.posed_forward_cost(B, T, N=N, Vg=assets.num_verts,
-                                  lbs_k=lbs_k)
+        pk = F.posed_forward_cost(B, T, N=N, Vg=assets.num_verts)
         total = xla_flops + pk.total
         extra["posed_fwd_flops_xla"] = xla_flops
         extra["posed_fwd_flops_pallas_mxu"] = pk.mxu
@@ -311,22 +354,96 @@ def worker(headline_only: bool) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _pump(proc, on_stdout, on_stderr, deadline: float, stall_s: float):
+    """Stream a worker's stdout+stderr through reader THREADS with a
+    watchdog, so a hung worker (wedged chip: host fetches block forever
+    rather than raising - BENCH_r03.json rc=124 was exactly this) can never
+    hang the supervisor. Returns (rc, failure_reason|None). The main loop
+    only ever blocks on a 5 s queue poll; it kills the worker when the
+    global deadline passes or when NO line (either stream) has arrived for
+    `stall_s` - longer than any legitimate compile unit between the
+    worker's progress lines."""
+    import queue
+    import subprocess
+    import threading
+
+    q: "queue.Queue" = queue.Queue()
+
+    def reader(stream, tag):
+        for line in iter(stream.readline, ""):
+            q.put((tag, line.rstrip("\n")))
+        q.put((tag, None))
+
+    threads = [
+        threading.Thread(target=reader, args=(proc.stdout, "out"), daemon=True),
+        threading.Thread(target=reader, args=(proc.stderr, "err"), daemon=True),
+    ]
+    for t in threads:
+        t.start()
+
+    eof = {"out": False, "err": False}
+    last_line = time.time()
+    failure = None
+    while not (eof["out"] and eof["err"]):
+        now = time.time()
+        if now > deadline:
+            failure = f"global deadline ({BUDGET_S:.0f}s budget) passed"
+            break
+        if now - last_line > stall_s:
+            failure = (f"no worker output for {stall_s:.0f}s "
+                       "(hung device fetch / wedged chip?)")
+            break
+        try:
+            tag, line = q.get(timeout=5.0)
+        except queue.Empty:
+            continue
+        last_line = time.time()
+        if line is None:
+            eof[tag] = True
+            continue
+        (on_stdout if tag == "out" else on_stderr)(line)
+    if failure is not None:
+        # NOTE: killing an axon client leaves the chip claim held server-side
+        # for ~10-15 min; the NEXT attempt will block in backend init until
+        # it frees. That wait shows no output, so stall_s must exceed it -
+        # do not lower G4D_BENCH_STALL_S below ~900 on the relay.
+        proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+        return -9, failure
+    try:
+        rc = proc.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        rc = -9
+    return rc, None
+
+
 def supervise() -> int:
-    """Run the worker in a subprocess; restart it on crashes until a headline
-    JSON line exists. Worker stdout (JSON lines only) streams through
-    unbuffered so an external kill still leaves the newest record on our
-    stdout; worker stderr streams to our stderr."""
+    """Run the worker in a subprocess; restart it on crashes AND hangs until
+    a headline JSON line exists. Worker stdout (JSON lines only) streams
+    through unbuffered so an external kill still leaves the newest record on
+    our stdout; worker stderr streams to our stderr. Contract: the LAST
+    stdout line is always a complete JSON record - the headline, or an
+    {"error": ...} diagnostic when every attempt failed - so a truncated/
+    timed-out run can never again leave a blank record (BENCH_r03)."""
     import subprocess
 
     deadline = _T0 + BUDGET_S
+    stall_s = float(os.environ.get("G4D_BENCH_STALL_S", 900))
     env = dict(os.environ)
     env[_DEADLINE_ENV] = repr(deadline)
     env.setdefault("PYTHONUNBUFFERED", "1")
 
     got_headline = False
+    attempts_log = []
     for attempt in range(1, 4):
         if time.time() > deadline - 60:
             _progress(f"budget exhausted before attempt {attempt}")
+            attempts_log.append({"attempt": attempt,
+                                 "failure": "budget exhausted before start"})
             break
         cmd = [sys.executable, os.path.abspath(__file__), "--worker"]
         if attempt > 1:
@@ -334,35 +451,44 @@ def supervise() -> int:
         env["G4D_BENCH_ATTEMPT"] = str(attempt)
         _progress(f"supervisor: starting worker attempt {attempt}: "
                   f"{' '.join(cmd[1:])}")
-        proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                                stderr=sys.stderr, text=True, bufsize=1)
+
+        def on_stdout(line):
+            nonlocal got_headline
+            if not line:
+                return
+            try:
+                rec = json.loads(line)
+                if "metric" in rec and "value" in rec:
+                    got_headline = True
+            except ValueError:
+                _progress(f"supervisor: non-JSON worker stdout: {line[:200]}")
+                return
+            print(line, flush=True)  # pass through immediately
+
+        def on_stderr(line):
+            print(line, file=sys.stderr, flush=True)
+
         try:
-            for line in proc.stdout:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                    if "metric" in rec and "value" in rec:
-                        got_headline = True
-                except ValueError:
-                    _progress(f"supervisor: non-JSON worker stdout: "
-                              f"{line[:200]}")
-                    continue
-                print(line, flush=True)  # pass through immediately
-            rc = proc.wait(timeout=max(60.0, deadline - time.time()))
-        except Exception as err:  # noqa: BLE001 - timeout/stream failures
-            _progress(f"supervisor: worker attempt {attempt} errored: {err}")
-            proc.kill()
-            rc = -1
+            proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                    stderr=subprocess.PIPE, text=True,
+                                    bufsize=1)
+            rc, failure = _pump(proc, on_stdout, on_stderr, deadline, stall_s)
+        except Exception as err:  # noqa: BLE001 - spawn/stream failures
+            rc, failure = -1, f"{type(err).__name__}: {err}"
+        attempts_log.append({"attempt": attempt, "rc": rc,
+                             "failure": failure})
         if got_headline:
             if rc != 0:
-                _progress("supervisor: worker crashed AFTER the headline - "
+                _progress("supervisor: worker died AFTER the headline - "
                           "record is safe, not retrying")
             return 0
-        _progress(f"supervisor: worker attempt {attempt} exited rc={rc} "
-                  "with no headline; retrying" if attempt < 3 else
-                  f"supervisor: worker attempt {attempt} exited rc={rc}")
+        _progress(f"supervisor: worker attempt {attempt} exited rc={rc}"
+                  + (f" ({failure})" if failure else "") + " with no headline"
+                  + ("; retrying" if attempt < 3 else ""))
+    if not got_headline:
+        # final-line contract: a structured diagnostic, never a blank record
+        _emit({"error": "no headline captured", "attempts": attempts_log,
+               "elapsed_s": round(time.time() - _T0, 1)})
     return 0 if got_headline else 1
 
 

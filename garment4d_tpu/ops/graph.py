@@ -217,14 +217,13 @@ def _gcn_stack_ref(xs, weights, biases, adj, offsets, relus, hidden_layer):
 
 def _gcn_stack_impl(xs, weights, biases, adj, offsets, relus, hidden_layer):
     x0 = xs[0]
-    c_total = sum(x.shape[-1] for x in xs)
     if jax.default_backend() == "tpu" and x0.dtype == jnp.float32:
         from garment4d_tpu.ops.pallas.gcnstack import (
             gcn_stack_cf_pallas,
             stack_supported,
         )
 
-        if stack_supported(x0.shape[-2], c_total,
+        if stack_supported(x0.shape[-2], [x.shape[-1] for x in xs],
                            [w.shape[1] for w in weights], offsets):
             v = adj.shape[0]
             idx = jnp.arange(v)

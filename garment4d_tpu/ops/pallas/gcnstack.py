@@ -32,6 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from garment4d_tpu.ops.pallas.precision import dot_f32
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -76,12 +78,15 @@ def _stack_kernel(vals_ref, *refs, offsets, relus, v_valid: int, v_pad: int,
     for i in range(n_pieces):
         xi = x_refs[i][0]       # (C_i, V) channel-first
         wi = w0_refs[i][...]    # (F0, C_i)
-        # precision=HIGHEST on the layer matmuls (here and below): the GCN
+        # exact-f32 dots on the layer matmuls (here and below): the GCN
         # emits geometry (vertex offsets); the default single-pass bf16
         # multiply drifts the fused stack from the HIGHEST-precision XLA
-        # path (tools/verify_tpu.py caught 3e-4 forward deviations)
-        t = jnp.dot(wi, xi, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (F0, V)
+        # path (tools/verify_tpu.py caught 3e-4 forward deviations). The
+        # explicit 6-pass bf16 split, NOT precision=HIGHEST: Mosaic's
+        # HIGHEST expansion temporaries blow the 16 MB scoped-vmem stack at
+        # the 323-wide attention-iteration input (the round-3 bench
+        # regression: "Scoped allocation with size 16.01M ... exceeded").
+        t = dot_f32(wi, xi)  # (F0, V)
         support = t if support is None else support + t
     if v_pad != v_valid:
         support = jnp.pad(support, ((0, 0), (0, v_pad - v_valid)))
@@ -94,8 +99,7 @@ def _stack_kernel(vals_ref, *refs, offsets, relus, v_valid: int, v_pad: int,
     for l in range(1, n_weights):
         wt = w_refs[2 * (l - 1)][...]     # (F_l, F_{l-1})
         b = w_refs[2 * (l - 1) + 1][...]  # (F_l, 1)
-        support = jnp.dot(wt, h, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        support = dot_f32(wt, h)
         h = _banded_cf(support, vals_ref, offsets, v_valid) + b
         if relus[l]:
             h = jnp.maximum(h, 0.0)
@@ -192,14 +196,31 @@ def gcn_stack_cf_pallas(xs, weights, biases, vals: jax.Array,
     return out, hidden
 
 
-def stack_supported(V: int, C0: int, widths, offsets) -> bool:
-    """VMEM feasibility of the fused stack at these shapes."""
+def stack_supported(V: int, piece_widths, widths, offsets) -> bool:
+    """VMEM feasibility of the fused stack at these shapes.
+
+    Two constraints, modelled separately because Mosaic accounts them
+    separately: (a) SCOPED allocations (in-kernel temporaries) against the
+    16 MB scoped-vmem stack - the budget the round-3 precision=HIGHEST dots
+    blew at the 323-wide attention shape; (b) total VMEM (block buffers +
+    scoped) against the chip's 128 MB. The scoped model follows the kernel's
+    explicit dot_f32 form: per dot site, 3 bf16 split terms of each operand
+    (only ONE piece's split is live at a time in the layer-0 loop) plus one
+    f32 product and the f32 accumulators; the banded multiply adds the int32
+    lane iota and up to 3 roll/select temporaries per offset step. Margins:
+    verified on-chip at the production call-site widths (cin=195
+    no-attention and cin=323 attention, V=2000) by tools/verify_tpu.py."""
     if offsets is None or len(offsets) > 16 or V % 8 != 0:
         return False
     v_pad = _round_up(V, 128)
-    c0_pad = _round_up(C0, 8)
+    c0_pad = _round_up(sum(int(c) for c in piece_widths), 8)
+    cmax = max(int(c) for c in piece_widths)
     fmax = max(int(w) for w in widths)
-    # pieces + 3 roll temporaries at the widest layer + outputs + weights
-    budget = (c0_pad + 4 * fmax + 2 * fmax) * v_pad * 4
-    budget += sum(int(w) * c0_pad for w in widths) * 4
-    return budget < 11 * 1024 * 1024
+    lane_f32 = v_pad * 4
+    # widest-layer f32 accumulator + product + support/h (3 rows of fmax),
+    # the widest live right-operand's 3-term bf16 split (1.5), and the
+    # banded-multiply temporaries (lane iota + rolls + select, ~5)
+    scoped = int(8 * fmax + 1.5 * max(cmax, fmax)) * lane_f32
+    weight_bytes = sum(int(w) * c0_pad for w in widths) * 4
+    blocks = (c0_pad + 16 + 3 * fmax) * lane_f32 + weight_bytes
+    return scoped < 13 * 1024 * 1024 and scoped + blocks < 100 * 1024 * 1024

@@ -28,6 +28,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from garment4d_tpu.ops.pallas.precision import (
+    dot_f32_presplit,
+    split3_xla as _split3_xla,
+)
+
 _J_PAD = 128    # lane padding of the J=24 joint axis
 # garment vertices per tile. 64 measured 3.3x faster than 32 at production
 # shapes (B=8, Vg=2000, N=6890): the binary-search compare+reduce passes and
@@ -81,35 +86,6 @@ def _select_weights(bits, d2, t, k: int, tile_m: int):
     return jnp.where(jnp.isinf(w), 0.0, w)
 
 
-def _split3(x):
-    """Split f32 into 3 exactly-representable bf16 terms (8 mantissa bits
-    each covers all 24). IN-KERNEL (Mosaic) USE ONLY: Mosaic lowers the
-    convert round-trips literally (verified on-chip). XLA:TPU must NOT
-    trace this - the axon terminal compiles with
-    --xla_allow_excess_precision=true, whose simplifier cancels
-    f32(bf16(x)) back to x, collapsing mid/lo to ZERO and silently
-    truncating the split to bf16 (caught on-chip: w0 drifted 2e-3
-    relative). Use `_split3_xla` outside kernels."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
-
-
-def _split3_xla(x):
-    """Excess-precision-proof 3-term bf16 split for XLA-traced (host-side)
-    code: `lax.reduce_precision` rounds in-dtype, so the simplifier cannot
-    cancel it against the full-precision input (verified exact on-chip
-    where the convert form collapsed)."""
-    hi_f = lax.reduce_precision(x, 8, 7)
-    r1 = x - hi_f
-    mid_f = lax.reduce_precision(r1, 8, 7)
-    lo_f = lax.reduce_precision(r1 - mid_f, 8, 7)
-    return (hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
-            lo_f.astype(jnp.bfloat16))
-
-
 def _dot_f32(wk, w0h, w0m, w0l):
     """f32-accurate (Tm, N) @ (N, Jp) on the MXU without precision=HIGHEST.
 
@@ -119,16 +95,9 @@ def _dot_f32(wk, w0h, w0m, w0l):
     But precision=HIGHEST here makes the Mosaic backend compiler crash
     (tpu_compile_helper exit 1 - its 6-pass expansion temporaries on top of
     the kernel's ~12 MB of (Tm, Np) f32 live values). Equivalent math,
-    explicit: both operands are split into 3 exact bf16 terms (w0's split
-    is precomputed host-side so only wk's 3 small terms hit the stack) and
-    the 6 term products with combined magnitude >= 2^-24 are summed in f32;
-    each bf16 x bf16 product is exact (16 mantissa bits < f32's 24), the 3
-    omitted terms are below f32 rounding of the result."""
-    h, m, l = _split3(wk)
-    acc = jnp.dot(h, w0h, preferred_element_type=jnp.float32)
-    for a, b in ((h, w0m), (m, w0h), (h, w0l), (l, w0h), (m, w0m)):
-        acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
-    return acc
+    explicit (ops/pallas/precision.py): w0's split is precomputed host-side
+    so only wk's 3 small terms hit the vmem stack."""
+    return dot_f32_presplit(wk, (w0h, w0m, w0l))
 
 
 def _kernel(body_ref, garment_ref, w0h_ref, w0m_ref, w0l_ref, outk_ref,

@@ -315,6 +315,12 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     else:
         disp2 = jnp.max(jnp.sum((cent_s - candidates["centers0"]) ** 2, -1))
         stale = disp2 > jnp.float32(float(reuse_margin) ** 2)
+        # an overflowed build-time state is pure overhead to reuse: it pins
+        # every reused call to the slow full-space branch below until drift
+        # alone exceeds the margin. Fold overflow into staleness so the next
+        # call re-attempts compaction at the current centers (exactness is
+        # unaffected either way).
+        stale = jnp.logical_or(stale, candidates["overflow"])
         state = lax.cond(stale, build_state, lambda: candidates)
 
     def compact_branch(xyz_full, centers, packed_full, st):

@@ -6,7 +6,12 @@ the step runs inside Pallas (most of it, for the posed stage). This module
 counts the arithmetic those kernels actually execute, split by unit:
 
   * mxu: matmul flops (fused PE/chain MLPs, GCN stack, knn-transfer
-    contraction) - multiply-accumulate counted as 2 flops,
+    contraction) - multiply-accumulate counted as 2 flops, scaled by the
+    number of EXECUTED MXU passes at each call site: the feature MLPs run
+    one DEFAULT-precision bf16 pass, while the geometry-critical dots use
+    the explicit 3-term bf16 split (`ops/pallas/precision.py`) - 6 passes
+    in the GCN stack and knn-transfer forward, 3 in the scatter-add /
+    PE-backward dtable scatters (one operand exactly bf16),
   * vpu: vector lane-ops (distance scans, FPS updates, selection machinery,
     banded adjacency rolls) - each elementwise op over a (rows, lanes) tile
     counts rows*lanes.
@@ -121,23 +126,27 @@ def three_nn(n_unknown: int, m_known: int) -> Cost:
 def knn_transfer(vg: int, n: int, j: int = 24) -> Cost:
     """Fused K-NN weight transfer (`knn_transfer.py`): distance 8 + bit
     bisection (~31 steps x 3 ops) over vg*n, plus two masked MXU
-    contractions (vg, n) @ (n, j_pad=128 effective -> count j real)."""
-    return Cost(vpu=vg * n * (8.0 + 93.0), mxu=2.0 * 2.0 * vg * n * j)
+    contractions (vg, n) @ (n, j_pad=128 effective -> count j real), each
+    executed as the 6-pass bf16-split `dot_f32_presplit`. Cost is
+    independent of K: the bisection step count and the masked contraction
+    width are fixed."""
+    return Cost(vpu=vg * n * (8.0 + 93.0), mxu=6.0 * 2.0 * 2.0 * vg * n * j)
 
 
 def gcn_stack(vg: int, c_in: int, hidden: int, c_out: int, n_layers: int,
               n_diags: int) -> Cost:
-    """Fused GCN stack: layer matmuls on MXU + banded adjacency applies
+    """Fused GCN stack: layer matmuls on MXU (each executed as the 6-pass
+    bf16-split `dot_f32`, `gcnstack.py:89-102`) + banded adjacency applies
     (n_diags shifted multiply-adds per layer) on VPU."""
     widths = [c_in] + [hidden] * (n_layers - 1) + [c_out]
-    mxu = sum(2.0 * vg * widths[i] * widths[i + 1]
+    mxu = sum(6.0 * 2.0 * vg * widths[i] * widths[i + 1]
               for i in range(n_layers))
     vpu = sum(vg * widths[i + 1] * n_diags * 2.0 for i in range(n_layers))
     return Cost(mxu=mxu, vpu=vpu)
 
 
 def posed_forward_cost(B: int, T: int, N: int = 6890, Vg: int = 2000,
-                       lbs_k: int = 256, iterations: int = 3,
+                       iterations: int = 3,
                        n_diags: int = 7, cap_frac: float = 0.72) -> Cost:
     """Pallas-kernel cost of one posed-stage forward at production shapes.
 
@@ -200,5 +209,6 @@ def posed_forward_cost(B: int, T: int, N: int = 6890, Vg: int = 2000,
     per_iter += gcn_stack(Vg, 3 + 6 * 32 + 128, 128, 3, 4, n_diags)
     c += BT * iterations * per_iter
     # iteration 0's GCN has no attention feature: remove its extra width
-    c += BT * Cost(mxu=-2.0 * Vg * 128 * 128)
+    # (same 6-pass convention as gcn_stack above)
+    c += BT * Cost(mxu=-6.0 * 2.0 * Vg * 128 * 128)
     return c

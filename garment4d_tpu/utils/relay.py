@@ -29,9 +29,27 @@ _TRANSIENT_MARKERS = (
     "transport",
 )
 
+# Deterministic failures that ALSO carry a transient-looking status code and
+# must fail fast, never retry. The round-3 bench burned ~8 min/attempt
+# retrying a Mosaic scoped-VMEM OOM that surfaced as `INTERNAL: ... HTTP 500`
+# (VERDICT r3 weak #5): a kernel that does not fit VMEM will not fit on the
+# next attempt either. Relay-side compile flakes (a bare HTTP 500 with none
+# of these signatures, observed on the posed train-step compile,
+# tools/train_synth.py) stay retryable.
+_PERMANENT_MARKERS = (
+    "Mosaic",                       # Mosaic lowering/compile errors
+    "scoped vmem",                  # "exceeded scoped vmem limit"
+    "Scoped allocation",
+    "tpu_compile_helper",           # Mosaic backend-compiler crash
+    "RESOURCE_EXHAUSTED",           # HBM/VMEM OOM is shape-deterministic
+    "XlaRuntimeError: UNIMPLEMENTED",
+)
+
 
 def is_transient(err: BaseException) -> bool:
     msg = f"{type(err).__name__}: {err}"
+    if any(m in msg for m in _PERMANENT_MARKERS):
+        return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 

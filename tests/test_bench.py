@@ -14,13 +14,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench(fault: str):
+def _run_bench(fault: str, **extra_env):
     env = dict(os.environ)
     env.update(
         G4D_BENCH_SHAPES="tiny",
         G4D_BENCH_PLATFORM="cpu",
         G4D_BENCH_FAULT=fault,
         G4D_BENCH_BUDGET_S="540",
+        **extra_env,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -59,3 +60,40 @@ def test_headline_survives_crash_before_measurement():
     _check_headline(proc, records)
     assert "injecting fault at pre_headline" in proc.stderr
     assert "starting worker attempt 2" in proc.stderr
+
+
+def test_headline_survives_hang_before_measurement():
+    """Worker HANGS before the measurement - the wedged-chip failure shape
+    that cost round 3 its record (BENCH_r03.json rc=124: a blocked host
+    fetch raises nothing, so exception-based recovery never fires). The
+    supervisor's stall watchdog must kill the worker and restart it."""
+    proc, records = _run_bench(fault="hang_pre_headline",
+                               G4D_BENCH_STALL_S="20")
+    _check_headline(proc, records)
+    assert "injecting hang at pre_headline" in proc.stderr
+    assert "no worker output for" in proc.stderr
+    assert "starting worker attempt 2" in proc.stderr
+
+
+def test_headline_survives_hang_after_measurement():
+    """Worker hangs AFTER the headline printed: the record is already on
+    stdout, the watchdog reaps the worker, exit stays 0, no retry."""
+    proc, records = _run_bench(fault="hang_post_headline",
+                               G4D_BENCH_STALL_S="20")
+    _check_headline(proc, records)
+    assert "injecting hang at post_headline" in proc.stderr
+    assert "starting worker attempt 2" not in proc.stderr
+
+
+def test_total_failure_emits_error_record():
+    """Even when every attempt fails, the LAST stdout line must be a
+    structured JSON diagnostic - rc=124 can never again mean a blank
+    record. A bogus explicit weights path makes every worker attempt raise
+    at startup (the silent random-init fallback was ADVICE r3 #4)."""
+    proc, records = _run_bench(fault="",
+                               G4D_BENCH_WEIGHTS="/nonexistent/weights.npz")
+    assert proc.returncode == 1
+    assert records, f"no final JSON on stdout; stderr: {proc.stderr[-3000:]}"
+    last = records[-1]
+    assert "error" in last
+    assert len(last["attempts"]) == 3

@@ -125,3 +125,25 @@ class TestCliDiskFixture:
                        extra=["--only_eval", "1"])
         for k, v in m2.items():
             assert m0[k] == pytest.approx(v, rel=1e-6), k
+
+
+class TestDemos:
+    def test_smpl_demo(self, tmp_path):
+        """The smplx examples equivalent (demos/smpl_demo.py, reference
+        `smplx/examples/demo.py:26-80`) runs headless and exports the mesh,
+        preview image, and joints."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = str(tmp_path / "smpl_demo")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "demos", "smpl_demo.py"),
+             "--cpu", "--plot-joints", "--pose", "random", "--out", out],
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "Vertices shape = (890, 3)" in proc.stdout
+        assert "Joints shape = (24, 3)" in proc.stdout
+        for name in ("body.obj", "body_preview.png", "joints.ply"):
+            assert os.path.exists(os.path.join(out, name)), name

@@ -47,17 +47,21 @@ class TestKernelCosts:
 class TestPosedForwardCost:
     def test_production_magnitude(self):
         """At bench shapes the Pallas share must be finite, positive, and
-        VPU-dominated (the step is selection-bound, PLAN round 2)."""
-        c = F.posed_forward_cost(8, 10, N=6890, Vg=2000, lbs_k=256)
+        TIME-dominated by the VPU (the step is selection-bound, PLAN round
+        2). Raw executed-MXU flops now exceed raw VPU lane-ops (the 6-pass
+        bf16-split dots count every pass, ADVICE r3 #1), but the MXU retires
+        them ~2 orders of magnitude faster - compare at the ~50x bf16-MXU /
+        VPU rate ratio, conservatively 20x."""
+        c = F.posed_forward_cost(8, 10, N=6890, Vg=2000)
         assert np.isfinite(c.total) and c.total > 0
-        assert c.vpu > c.mxu
+        assert c.vpu * 20 > c.mxu  # VPU-bound in time
         # ballpark: hundreds of G lane-ops for 80 frames, not ones or tens
         # of T (a dropped BT factor or a doubled inventory both leave this)
         assert 1e11 < c.vpu < 2e12
-        assert 1e10 < c.mxu < 1e12
+        assert 1e10 < c.mxu < 4e12
 
     def test_scales_linearly_in_frames(self):
-        c1 = F.posed_forward_cost(4, 10, N=6890, Vg=2000, lbs_k=256)
-        c2 = F.posed_forward_cost(8, 10, N=6890, Vg=2000, lbs_k=256)
+        c1 = F.posed_forward_cost(4, 10, N=6890, Vg=2000)
+        c2 = F.posed_forward_cost(8, 10, N=6890, Vg=2000)
         # LBS knn-transfer is per-sequence; everything else per-frame
         assert 1.9 < c2.total / c1.total < 2.1

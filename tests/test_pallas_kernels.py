@@ -937,6 +937,51 @@ class TestCandidateReuse:
             np.testing.assert_array_equal(np.asarray(state2["centers0"]),
                                           np.asarray(ctr2))
 
+    def test_overflowed_state_rebuilds(self, rng):
+        """An overflowed build-time state is pure overhead to carry: reuse
+        would pin every call to the full-space branch until drift alone
+        exceeded the margin (ADVICE r3 #3). Overflow folds into staleness,
+        so the next call re-anchors at ITS centers - observable as
+        centers0 following the new centers - and results stay exact."""
+        from garment4d_tpu import ops
+
+        B, N, M = 2, 1152, 64
+        # dense cluster: every point within cover_r of some center, so the
+        # candidate count (~N) blows the cap (256 at this N with a tiny
+        # cap_frac) and compaction overflows
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.05)
+        ctr0 = xyz[:, :M] * 0.5
+        vn = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        radii, ss = (0.2, 0.45), (4, 8)
+        params = [tuple(jnp.asarray(a) for a in (
+            rng.randn(6, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32),
+            rng.randn(32, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32))) for _ in ss]
+        margin = 0.1
+
+        def fresh(centers):
+            return ops.query_group_pe_multi(
+                radii, ss, xyz, centers, vn, params, cap_frac=0.1,
+                use_pallas=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            out0, state = ops.query_group_pe_multi(
+                radii, ss, xyz, ctr0, vn, params, cap_frac=0.1,
+                use_pallas=True, reuse_margin=margin)
+            assert bool(np.asarray(state["overflow"])), \
+                "setup failed to overflow the candidate cap"
+            ctr1 = ctr0 + 0.01
+            out1, state1 = ops.query_group_pe_multi(
+                radii, ss, xyz, ctr1, vn, params, cap_frac=0.1,
+                use_pallas=True, candidates=state, reuse_margin=margin)
+            # rebuilt despite sub-margin drift: anchored at the new centers
+            np.testing.assert_array_equal(np.asarray(state1["centers0"]),
+                                          np.asarray(ctr1))
+            for g, w in zip(out1, fresh(ctr1)):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-5, atol=1e-6)
+
 
 class TestFusedPeBackward:
     """Fused VMEM-resident backward of group_pe_max (ops/pallas/fusedpe.py:

@@ -340,6 +340,56 @@ def main():
 
     r.check("fused GCN stack fwd+bwd", gcn)
 
+    # ---- fused GCN stack at the ATTENTION-iteration width -------------------
+    # The round-3 bench regression compiled fine at the 195-wide iteration-0
+    # input above but blew the 16 MB scoped-vmem stack at THIS shape: the
+    # 323-wide input with the 128-wide temporal-attention piece
+    # (models/posed.py:339-365, reference `modules/mesh_encoder.py:467-484`).
+    # Any precision/temporary change in gcnstack.py must pass here.
+    def gcn_attn():
+        from garment4d_tpu.models import GarmentAssets
+        from garment4d_tpu.ops import graph
+
+        assets = GarmentAssets.synthetic(num_rings=125, ring_size=16)
+        adj = jnp.asarray(assets.gcn_adj)
+        offsets = graph.cyclic_diagonals(assets.gcn_adj)
+        xs = tuple(
+            jnp.asarray(rng.randn(B, Vg, c).astype(np.float32))
+            for c in (3, 32, 32, 32, 32, 32, 32, 128))
+        widths, cin = (128, 128, 128, 3), 323
+        ws, bs = [], []
+        for wd in widths:
+            ws.append(jnp.asarray(rng.randn(cin, wd).astype(np.float32) * 0.1))
+            bs.append(jnp.asarray(rng.randn(wd).astype(np.float32) * 0.1))
+            cin = wd
+        relus = (True, True, True, False)
+
+        def fused(xs, ws, bs):
+            out, hid = ops.gcn_stack(xs, tuple(ws), tuple(bs), adj, offsets,
+                                     relus, 2)
+            return jnp.sum(out ** 2) + jnp.sum(hid ** 2), (out, hid)
+
+        def ref(xs, ws, bs):
+            out, hid = graph._gcn_stack_ref(xs, tuple(ws), tuple(bs), adj,
+                                            offsets, relus, 2)
+            return jnp.sum(out ** 2) + jnp.sum(hid ** 2), (out, hid)
+
+        from garment4d_tpu.ops.pallas.gcnstack import stack_supported
+        assert stack_supported(Vg, [x.shape[-1] for x in xs],
+                               [w.shape[1] for w in ws], offsets), \
+            "stack_supported rejects the production attention shape"
+        (lg, (og, hg)), grads_g = jax.value_and_grad(
+            fused, argnums=(0, 1), has_aux=True)(xs, ws, bs)
+        (lw, (ow, hw)), grads_w = jax.value_and_grad(
+            ref, argnums=(0, 1), has_aux=True)(xs, ws, bs)
+        close(og, ow, tol=2e-4)
+        close(hg, hw, tol=2e-4)
+        for gg, gw in zip(jax.tree_util.tree_leaves(grads_g),
+                          jax.tree_util.tree_leaves(grads_w)):
+            close(gg, gw, tol=5e-4)
+
+    r.check("fused GCN stack @ attention width (323)", gcn_attn)
+
     # ---- end-to-end: candidate-compacted query+PE vs plain reference -------
     def qgpm():
         from garment4d_tpu.ops import pemax
@@ -374,6 +424,69 @@ def main():
             close(g, w, tol=1e-6)
 
     r.check("query_group_pruned_multi vs ref", pruned)
+
+    # ---- ship gates: the FULL flagship programs compile + run at BENCH
+    # shapes (B=8, T=10, N=6890, Vg=2000). These are what the driver bench
+    # measures; a kernel that passes its unit parity above but breaks the
+    # whole-model Mosaic compile (the round-3 regression) must fail HERE,
+    # before any bench run. Uses the persistent compile cache, so repeat
+    # runs are cheap.
+    def _bench_setup():
+        from garment4d_tpu import smpl
+        from garment4d_tpu.data.synthetic import make_batch
+        from garment4d_tpu.models import GarmentAssets, PosedGarmentModel
+        from garment4d_tpu.train.step import body_inputs_from_batch
+
+        Bp, T, Np = 8, 10, 6890
+        assets = GarmentAssets.synthetic(num_rings=125, ring_size=16)
+        body_model = smpl.synthetic_smpl(num_verts=Np)
+        model = PosedGarmentModel(assets=assets, body_faces=body_model.faces,
+                                  lbs_k=256, iterations=3)
+        batch = make_batch(assets, body_model, batch_size=Bp, T=T, npoints=Np)
+        body = body_inputs_from_batch(batch)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+        return model, assets, body_model, batch, body, variables
+
+    setup_cache = {}
+
+    def _setup():
+        if not setup_cache:
+            setup_cache["v"] = _bench_setup()
+        return setup_cache["v"]
+
+    def posed_fwd_bench_shape():
+        model, _, _, batch, body, variables = _setup()
+
+        @jax.jit
+        def posed_fwd(pcd, body):
+            return model.apply(variables, pcd, body,
+                               train=False).iter_garment_v[-1]
+
+        posed_fwd.lower(batch["pcd"], body).compile()
+        out = posed_fwd(batch["pcd"], body)
+        val = float(np.asarray(out.ravel()[0]))
+        assert np.isfinite(val), f"posed fwd produced {val}"
+
+    r.check("SHIP posed fwd compile+step @ bench shapes", posed_fwd_bench_shape)
+
+    def posed_train_bench_shape():
+        from garment4d_tpu.data.synthetic import make_batch
+        from garment4d_tpu.train.step import make_posed_steps, make_state_for
+
+        model, assets, body_model, _, _, variables = _setup()
+        tb = make_batch(assets, body_model, batch_size=4, T=10, npoints=6890,
+                        seed=1)
+        state = make_state_for(model, variables, assets, lr=1e-3,
+                               freeze_canonical=True)
+        train_step, _ = make_posed_steps(model, assets, body_model.faces)
+        train_step.lower(state, tb, jax.random.PRNGKey(1)).compile()
+        _, losses = train_step(state, tb, jax.random.PRNGKey(1))
+        val = float(np.asarray(losses["total_loss"]))
+        assert np.isfinite(val), f"posed train loss {val}"
+
+    r.check("SHIP posed train compile+step @ bench shapes",
+            posed_train_bench_shape)
 
     return r.summary()
 
