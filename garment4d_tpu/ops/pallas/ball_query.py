@@ -139,219 +139,16 @@ def _bq_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples, s_pads,
 
 
 # ---------------------------------------------------------------------------
-# windowed min-extraction kernel (large point sets)
-# ---------------------------------------------------------------------------
-#
-# The per-slot counting formulation above pays ~2 full-width VPU passes per
-# sample slot regardless of where the hits are: for S slots over N lanes the
-# slot extraction alone is ~2*S*N lane-ops. This kernel restructures the
-# problem so the extraction work is proportional to the number of hits
-# actually consumed:
-#
-#   split lanes into G groups of W=512. For row m, group g, let before[m,g]
-#   be the hit count in groups < g and tot[m,g] the hits inside g. The
-#   count-below-threshold decomposes per group as
-#
-#     idx[m,s] = sum_g  { 0                          s <  before[m,g]
-#                       { W                          s >= before[m,g]+tot[m,g]
-#                       { pos of the (s-before)-th   otherwise
-#                       {   hit within group g
-#
-#   The first two cases ("saturated" groups) are (Tm, 128)-narrow
-#   compare+adds. Only the boundary case needs lane data, and for group g it
-#   is needed for at most jmax_g = max_m min(tot, S - before) local hits:
-#   extract them SEQUENTIALLY by running min over key = hit ? lane : W
-#   (masking out each found lane), 2 wide passes per hit, and scatter each
-#   to its per-row global slot before[m,g]+j with a narrow compare+add.
-#
-#   Total wide work ~ 2 * (hits consumed) * W lane-ops instead of 2*S*N:
-#   ~13x less at production shapes (N=6890, W=512) ON PAPER. MEASURED
-#   (tools/bench_bq.py, round 3): the sequential per-hit extraction loop
-#   serializes ~56 dependent min+mask passes per group and loses to the
-#   grouped kernel's data-parallel scan everywhere (body-full 48.6 ms vs
-#   grouped 30.3 ms vs flat 72.8 ms) - the VPU prefers 2*S*N of independent
-#   work over 2*hits*W of serial work. Kept as an exact, golden-tested
-#   variant (it wins only if hit counts per tile are far below quota);
-#   NOT on any production path. Results are bit-identical to the flat
-#   kernel: the decomposition is exact and min-extraction selects lanes in
-#   index order.
+# A "windowed min-extraction" variant (extraction work proportional to hits
+# consumed instead of ~2*S*N lane-ops) lived here through round 3: exact and
+# golden-tested, but MEASURED SLOWER than both production kernels everywhere
+# (tools/bench_bq.py: body-full flat=72.8 / grouped-256=30.3 / windowed=48.6
+# ms) - its sequential per-hit min+mask extraction loop (~56 dependent VPU
+# passes per group) loses to the grouped kernel's data-parallel scan. Removed
+# round 4 (see git ref 99dd9a5 / PLAN.md round-3 #1); the VPU prefers 2*S*N
+# of independent work over 2*hits*W of serial work.
 
 _GROUP_W = 512
-
-
-def _bq_windowed_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
-                        nsamples, s_pads, n_valid: int, m_valid: int,
-                        tile_m: int, n_groups: int, w: int = _GROUP_W):
-    """Windowed min-extraction kernel (see block comment above).
-
-    nvalid_ref: (B,) scalar-prefetch per-batch dynamic valid counts (sentinel
-    tails are skipped in phase 1, exactly - sentinels can never hit).
-    xyz_ref: (1, G, 8, W) f32 with xyz on sublanes 0..2; centers_ref:
-    (1, Tm, 3); refs = out_refs per radius + scratch:
-      mask  (G, Tm, W) int32 - per-radius hit bits packed at 10*r (the field
-            width also lets ONE lane-reduce produce all radii's totals),
-      before (G+1, Tm, 128) int32 - col r = exclusive prefix hit count,
-      run   (Tm, 128) int32 running totals,
-      key   (Tm, W) int32 min-extraction working set,
-      pos   (Tm, s_pad_r) int32 per radius - slot accumulators.
-    """
-    R = len(radii2)
-    assert R <= 3  # 10-bit packing
-    out_refs = refs[:R]
-    mask_ref = refs[R]
-    before_ref = refs[R + 1]
-    run_ref = refs[R + 2]
-    key_ref = refs[R + 3]
-    pos_refs = refs[R + 4:R + 4 + R]
-
-    W = w
-    nv = nvalid_ref[pl.program_id(0)]
-    cx = centers_ref[0, :, 0:1]
-    cy = centers_ref[0, :, 1:2]
-    cz = centers_ref[0, :, 2:3]
-    lane = lax.broadcasted_iota(jnp.int32, (tile_m, W), dimension=1)
-    col = lax.broadcasted_iota(jnp.int32, (tile_m, 128), dimension=1)
-    row = lax.broadcasted_iota(jnp.int32, (tile_m, 1), dimension=0)
-    row_valid = (pl.program_id(1) * tile_m + row) < m_valid
-
-    # ---- phase 1: distances -> packed hit masks + per-group prefix counts
-    run_ref[...] = jnp.zeros((tile_m, 128), jnp.int32)
-
-    def phase1(g, _):
-        before_ref[g] = run_ref[...]
-
-        @pl.when(g * W < nv)
-        def _live():
-            chunk = xyz_ref[0, g]  # (8, W)
-            d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
-                  + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
-            valid = (g * W + lane) < n_valid
-            packed = jnp.zeros((tile_m, W), jnp.int32)
-            for r, r2 in enumerate(radii2):
-                m = jnp.logical_and(d2 < r2, valid).astype(jnp.int32)
-                packed = packed + (m << (10 * r))
-            mask_ref[g] = packed
-            # one reduce yields every radius's group total (fields <= W=512
-            # fit in 10 bits)
-            tot = jnp.sum(packed, axis=-1, keepdims=True)  # (Tm, 1)
-            acc = run_ref[...]
-            for r in range(R):
-                acc = acc + jnp.where(col == r, (tot >> (10 * r)) & 0x3FF, 0)
-            run_ref[...] = acc
-        return 0
-
-    lax.fori_loop(0, n_groups, phase1, 0)
-    before_ref[n_groups] = run_ref[...]
-    cnt_all = run_ref[...]
-
-    for r in range(R):
-        pos_refs[r][...] = jnp.zeros((tile_m, s_pads[r]), jnp.int32)
-
-    # ---- phase 2: saturated-group adds + boundary min-extraction ---------
-    def phase2(g, _):
-        before_g = before_ref[g]
-        tot_g = before_ref[g + 1] - before_g
-        for r, (S, sp) in enumerate(zip(nsamples, s_pads)):
-            before_r = before_g[:, r:r + 1]  # (Tm, 1)
-            tot_r = tot_g[:, r:r + 1]
-            s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, sp), 1)
-            # groups fully consumed before slot s contribute W lanes each
-            pos_refs[r][...] = pos_refs[r][...] + jnp.where(
-                before_r + tot_r <= s_iota, W, 0)
-            # local hits this group must supply: min(tot, S - before), maxed
-            # over the tile's valid rows
-            need = jnp.minimum(tot_r, S - before_r)
-            need = jnp.where(row_valid, need, 0)
-            jm = jnp.maximum(jnp.max(need), 0)
-
-            @pl.when(jm > 0)
-            def _extract(r=r, before_r=before_r, tot_r=tot_r,
-                         s_iota=s_iota, jm=jm):
-                bit = (mask_ref[g] >> (10 * r)) & 1
-                key_ref[...] = jnp.where(bit > 0, lane, W)
-
-                def jbody(j, _):
-                    k = key_ref[...]
-                    p = jnp.min(k, axis=-1, keepdims=True)  # (Tm, 1)
-                    key_ref[...] = jnp.where(k == p, W, k)
-                    hit = jnp.logical_and(s_iota == before_r + j, j < tot_r)
-                    # LOCAL lane count only: every earlier group (hits or
-                    # not) contributes its full W via the saturated term
-                    pos_refs[r][...] = pos_refs[r][...] + jnp.where(hit, p, 0)
-                    return 0
-
-                lax.fori_loop(0, jm, jbody, 0)
-        return 0
-
-    lax.fori_loop(0, n_groups, phase2, 0)
-
-    # ---- finalize: CUDA tail-replication + no-hit conventions -----------
-    for r, sp in enumerate(s_pads):
-        idx = pos_refs[r][...]
-        cnt_r = cnt_all[:, r:r + 1]
-        s_iota = lax.broadcasted_iota(jnp.int32, (tile_m, sp), dimension=1)
-        first_hit = idx[:, 0:1]
-        idx = jnp.where(s_iota < cnt_r, idx, first_hit)
-        idx = jnp.where(cnt_r > 0, idx, 0)
-        out_refs[r][0] = idx
-
-
-def _ball_query_multi_windowed(radii, nsamples, xyz: jax.Array,
-                               new_xyz: jax.Array, tile_m: int = 128,
-                               w: int = _GROUP_W,
-                               n_valid_dyn: jax.Array = None):
-    """Windowed min-extraction path of `ball_query_multi_pallas` (identical
-    results to the flat kernel; see `_bq_windowed_kernel`)."""
-    B, N, _ = xyz.shape
-    M = new_xyz.shape[1]
-    W = w
-    n_groups = _round_up(N, W) // W
-    n_pad = n_groups * W
-    m_pad = _round_up(M, tile_m)
-    s_pads = tuple(_round_up(s, 128) for s in nsamples)
-
-    pts = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad - N), (0, 0)),
-                  constant_values=1e9)
-    chunks = jnp.transpose(pts.reshape(B, n_groups, W, 3), (0, 1, 3, 2))
-    chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, 5), (0, 0)))
-    centers = new_xyz.astype(jnp.float32)
-    if m_pad != M:
-        centers = jnp.pad(centers, ((0, 0), (0, m_pad - M), (0, 0)))
-    if n_valid_dyn is None:
-        nvalid = jnp.full((B,), N, jnp.int32)
-    else:
-        nvalid = n_valid_dyn.reshape(B).astype(jnp.int32)
-
-    kernel = functools.partial(
-        _bq_windowed_kernel, radii2=tuple(float(r) ** 2 for r in radii),
-        nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
-        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups, w=W)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, m_pad // tile_m),
-        in_specs=[
-            pl.BlockSpec((1, n_groups, 8, W), lambda b, m, nv: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 3), lambda b, m, nv: (b, m, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((1, tile_m, sp), lambda b, m, nv: (b, m, 0),
-                         memory_space=pltpu.VMEM) for sp in s_pads),
-        scratch_shapes=(
-            [pltpu.VMEM((n_groups, tile_m, W), jnp.int32),
-             pltpu.VMEM((n_groups + 1, tile_m, 128), jnp.int32),
-             pltpu.VMEM((tile_m, 128), jnp.int32),
-             pltpu.VMEM((tile_m, W), jnp.int32)]
-            + [pltpu.VMEM((tile_m, sp), jnp.int32) for sp in s_pads]),
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((B, m_pad, sp), jnp.int32) for sp in s_pads),
-    )(nvalid, chunks, centers)
-    return tuple(o[:, :M, :s] for o, s in zip(outs, nsamples))
 
 
 def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,

@@ -59,17 +59,6 @@ def fps(n: int, npoint: int) -> Cost:
     return Cost(vpu=npoint * n * 11.0)
 
 
-def ball_query_windowed(m: int, n: int, nsamples, w: int = 512) -> Cost:
-    """Windowed min-extraction kernel (`_bq_windowed_kernel`): phase-1
-    distance+mask+totals (~12 ops over m*n), per-consumed-hit extraction
-    (~3 ops over w lanes, ~1.5x quota for tile heterogeneity), narrow
-    saturated/accumulate terms folded into the constant. (Variant kernel;
-    not on the headline path - measured slower than grouped/flat at
-    production hit densities, see PLAN round 3.)"""
-    S = sum(int(s) for s in nsamples)
-    return Cost(vpu=m * n * 12.0 + 1.5 * S * (m / 128.0) * w * 3.0 * 128)
-
-
 def ball_query_flat(m: int, n: int, nsamples) -> Cost:
     """Flat prefix-scan kernel (`_bq_kernel`): distance 8 + masks/pack ~5 +
     log2(n)*3 scan + 2 ops per slot, all over m*n lanes."""

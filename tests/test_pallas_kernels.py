@@ -338,67 +338,6 @@ class TestGroupedBallQueryKernel:
             np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
 
 
-class TestWindowedBallQueryKernel:
-    def test_matches_golden(self, rng):
-        """The windowed min-extraction kernel must equal the golden oracle
-        exactly across several 512-lane groups, including exhausted-quota
-        centers, zero-hit centers, and quota-overflow centers."""
-        from garment4d_tpu.ops.pallas.ball_query import (
-            _ball_query_multi_windowed,
-        )
-
-        xyz = rng.randn(2, 1200, 3).astype(np.float32) * 1.5
-        centers = np.concatenate(
-            [xyz[:, ::9][:, :120], np.full((2, 8, 3), 40.0, np.float32)],
-            axis=1)
-        with pltpu.force_tpu_interpret_mode():
-            got = _ball_query_multi_windowed(
-                (0.3, 0.7, 1.2), (4, 8, 16), jnp.asarray(xyz),
-                jnp.asarray(centers), tile_m=64)
-        for g, (r, s) in zip(got, ((0.3, 4), (0.7, 8), (1.2, 16))):
-            want = ball_query_ref(r, s, xyz, centers)
-            np.testing.assert_array_equal(np.asarray(g), want)
-
-    def test_matches_standard_kernel(self, rng):
-        from garment4d_tpu.ops.pallas.ball_query import (
-            _ball_query_multi_windowed,
-            ball_query_multi_pallas,
-        )
-
-        xyz = rng.randn(1, 700, 3).astype(np.float32)
-        centers = xyz[:, :50] + 0.05
-        with pltpu.force_tpu_interpret_mode():
-            win = _ball_query_multi_windowed(
-                (0.25, 0.6), (4, 8), jnp.asarray(xyz), jnp.asarray(centers),
-                tile_m=64)
-            std = ball_query_multi_pallas(
-                (0.25, 0.6), (4, 8), jnp.asarray(xyz), jnp.asarray(centers))
-        for g, s in zip(win, std):
-            np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
-
-    def test_dynamic_valid_counts(self, rng):
-        """Sentinel tails past the per-batch dynamic count are skipped
-        exactly (they can never hit), matching the full-scan result on the
-        same sentinel-padded table."""
-        from garment4d_tpu.ops.pallas.ball_query import (
-            _ball_query_multi_windowed,
-        )
-
-        B, N = 2, 1100
-        xyz = rng.randn(B, N, 3).astype(np.float32)
-        nv = np.array([520, 1099], np.int32)
-        lanes = np.arange(N)[None, :, None]
-        table = np.where(lanes < nv[:, None, None], xyz, np.float32(1e9))
-        centers = xyz[:, :80]
-        with pltpu.force_tpu_interpret_mode():
-            got = _ball_query_multi_windowed(
-                (0.4, 0.9), (4, 8), jnp.asarray(table), jnp.asarray(centers),
-                tile_m=64, n_valid_dyn=jnp.asarray(nv))
-        for g, (r, s) in zip(got, ((0.4, 4), (0.9, 8))):
-            want = ball_query_ref(r, s, table, centers)
-            np.testing.assert_array_equal(np.asarray(g), want)
-
-
 class TestChannelFirstGather:
     def test_cf_matches_row_major(self, rng):
         from garment4d_tpu.ops.pallas.gather import (

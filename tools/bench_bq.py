@@ -23,7 +23,6 @@ from functools import partial
 
 from garment4d_tpu.ops.pallas.ball_query import (
     _ball_query_multi_grouped,
-    _ball_query_multi_windowed,
     ball_query_multi_pallas,
 )
 
@@ -94,17 +93,6 @@ def main():
                 line += f"  g512/{tm}={tg:6.2f}{flag}"
             except Exception:
                 line += f"  g512/{tm}=OOM"
-        for tm in (128, 256):
-            win = jax.jit(partial(_ball_query_multi_windowed, radii, ns,
-                                  tile_m=tm, w=512))
-            try:
-                ow = win(xyz, ctr)
-                same = all(bool(jnp.all(a == b)) for a, b in zip(of, ow))
-                tw = timeit(win, xyz, ctr)
-                flag = "" if same else "!MISMATCH"
-                line += f"  w512/{tm}={tw:6.2f}{flag}"
-            except Exception as e:
-                line += f"  w512/{tm}=ERR({type(e).__name__})"
         print(line, flush=True)
 
 

@@ -135,29 +135,6 @@ def main():
 
     r.check("ball_query grouped + dyn-valid", bq_grouped)
 
-    def bq_windowed():
-        from garment4d_tpu.ops.pallas.ball_query import (
-            _ball_query_multi_windowed,
-        )
-
-        nv = jnp.asarray([5000, 6100], jnp.int32)
-        lane = jnp.arange(N)[None, :, None]
-        table = jnp.where(lane < nv[:, None, None], body, jnp.float32(1e9))
-        got = _ball_query_multi_windowed((0.1, 0.2, 0.4), (8, 16, 32),
-                                         table, garment, n_valid_dyn=nv)
-        want = pc.ball_query_multi((0.1, 0.2, 0.4), (8, 16, 32), table,
-                                   garment, use_pallas=False)
-        for g, w in zip(got, want):
-            close(g, w, exact=True)
-        # scattered centers, backbone-like radii
-        centers = pc.gather_points(body, pc._fps_xla(body, 1024))
-        got = _ball_query_multi_windowed((0.05, 0.1), (16, 32), body, centers)
-        want = pc.ball_query_multi((0.05, 0.1), (16, 32), body, centers,
-                                   use_pallas=False)
-        for g, w in zip(got, want):
-            close(g, w, exact=True)
-
-    r.check("ball_query windowed min-extraction", bq_windowed)
 
     # ---- coverage mask -----------------------------------------------------
     def coverage():
