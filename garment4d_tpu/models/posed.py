@@ -80,15 +80,14 @@ class SplitQueryGroupPE(nn.Module):
                              grouped=self.grouped)
 
         def core(xyz, new_xyz, features, k0, b0, k1, b1):
-            proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])  # (B, N, F)
-            packed = jnp.concatenate([xyz, proj], axis=-1)
-            # fused gather + MLP + max (ops/pallas/fusedpe.py): the grouped
-            # (B, 3+F, M, S) neighbourhoods never exist in HBM. The packed
-            # table's proj channels pass through MLP1 via an identity block
-            # stacked under k0's xyz rows.
-            kfull = jnp.concatenate(
-                [k0[:3], jnp.eye(self.feat_num, dtype=k0.dtype)], axis=0)
-            return ops.group_pe_max(packed, idx, new_xyz, kfull, b0, k1, b1)
+            # split-projected fused gather + MLP + max: features are
+            # projected to F once per point so the gather is (3+F) wide and
+            # the grouped (B, 3+F, M, S) neighbourhoods never exist in HBM;
+            # the backward runs the UNSPLIT no-dtable kernel (the source
+            # features here are frozen stage-1 outputs — see
+            # ops.group_pe_max_split_frozen).
+            return ops.group_pe_max_split_frozen(
+                xyz, features, idx, new_xyz, k0, b0, k1, b1)
 
         if self.remat:
             core = jax.checkpoint(core)
@@ -312,11 +311,16 @@ class PosedGarmentModel(nn.Module):
             # grouped neighbourhoods never materialise in HBM
             # (ops/pemax.py, ops/pallas/fusedpe.py).
             def body_block(cur_v, body_v, body_vn, pe_params, state):
+                # table_grad=False: the body table (xyz + vertex normals) is
+                # pure batch data with no path to any trained parameter, so
+                # the PE backward skips its dtable scatter — the dominant
+                # arithmetic of the fused backward kernel
                 return ops.query_group_pe_multi(
                     r["body_radius"], r["body_nsample"],
                     body_v, cur_v, body_vn, pe_params,
                     spatial=self.spatial_sample,
-                    candidates=state, reuse_margin=reuse_margin)
+                    candidates=state, reuse_margin=reuse_margin,
+                    table_grad=False)
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)

@@ -5,6 +5,7 @@ extension (reference `modules/pointnet2/pointnet2/src/`, SURVEY.md section 2.1).
 from garment4d_tpu.ops.pemax import (
     group_chain_max,
     group_pe_max,
+    group_pe_max_split_frozen,
     query_group_pe_multi,
 )
 from garment4d_tpu.ops.pointcloud import (
@@ -56,6 +57,7 @@ __all__ = [
     "group_points_cf",
     "group_chain_max",
     "group_pe_max",
+    "group_pe_max_split_frozen",
     "query_group_pe_multi",
     "interp_weights_from_dists",
     "knn_points",

@@ -226,10 +226,12 @@ _TC_BWD = 128  # center lanes per backward grid step (R = S * 128)
 _MAX_BWD_LIVE_BYTES = 12 * 1024 * 1024
 
 
-def pe_bwd_supported(n: int, c: int, s: int, f: int, g: int) -> bool:
+def pe_bwd_supported(n: int, c: int, s: int, f: int, g: int,
+                     table_grad: bool = True) -> bool:
     """Backward-kernel shape gate (mirrors `chain_supported`). TC is fixed
     at 128 lanes, so the gathered block is R = s*128 and the live set
-    scales with s * max(c, f, g)."""
+    scales with s * max(c, f, g). With `table_grad=False` the dtable
+    accumulator is absent, so the table-resident VMEM term halves."""
     n_pad = _round_up(n, 128)
     c_pad = _round_up(c, 8)
     if c_pad * n_pad * 4 > _MAX_TABLE_BYTES:
@@ -238,24 +240,31 @@ def pe_bwd_supported(n: int, c: int, s: int, f: int, g: int) -> bool:
         return False
     f_p, g_p = _round_up(f, 8), _round_up(g, 8)
     live = (3 * c_pad + 3 * f_p + 2 * g_p) * s * _TC_BWD * 4 \
-        + 2 * c_pad * n_pad * 4
+        + (2 if table_grad else 1) * c_pad * n_pad * 4
     if live > _MAX_BWD_LIVE_BYTES:
         return False
     return (n_pad // 128) * max(c_pad // 8, 1) <= 1024
 
 
 def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
-                   w1t_ref, w0f_ref, w1f_ref, dtable_ref, dctr_ref, dk0_ref,
-                   db0_ref, dk1_ref, db1_ref, dqg_scr, *, S: int, TC: int,
+                   w1t_ref, w0f_ref, w1f_ref, *out_refs, S: int, TC: int,
                    n_chunks: int, c_pad: int, f_p: int, g_p: int,
-                   lanes_c: int):
+                   lanes_c: int, table_grad: bool):
     """Grid (B, m_tiles). table_ref (1, c_pad, n_pad) cf; idx_ref
     (1, 1, R/128, 128) s-major; ctr_ref (1, 8, TC); gt_ref (1, g_p, TC)
     cotangent cf; w0t (f_p, lanes_c) = k0^T padded; b0 (f_p, 128); w1t
     (g_p, 128) = k1^T padded; w0f (c_pad, 128) = k0 padded; w1f (f_p, 128)
-    = k1 padded. Outputs: dtable (1, c_pad, n_pad) accumulated over m
-    tiles; dctr (1, 8, TC); dk0 (f_p, lanes_c), db0 (f_p, 128), dk1
-    (g_p, 128), db1 (g_p, 128) accumulated over the whole grid."""
+    = k1 padded. Outputs: [dtable (1, c_pad, n_pad) accumulated over m
+    tiles — only when `table_grad`]; dctr (1, 8, TC); dk0 (f_p, lanes_c),
+    db0 (f_p, 128), dk1 (g_p, 128), db1 (g_p, 128) accumulated over the
+    whole grid. Without `table_grad` (a frozen/non-trainable table, e.g.
+    the posed stage's body xyz+normals) the dominant dtable one-hot MXU
+    scatter and its VMEM accumulator are skipped entirely."""
+    if table_grad:
+        (dtable_ref, dctr_ref, dk0_ref, db0_ref, dk1_ref, db1_ref,
+         dqg_scr) = out_refs
+    else:
+        dctr_ref, dk0_ref, db0_ref, dk1_ref, db1_ref = out_refs
     R = S * TC
     j_groups = R // 128
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -267,9 +276,10 @@ def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
         dk1_ref[...] = jnp.zeros_like(dk1_ref)
         db1_ref[...] = jnp.zeros_like(db1_ref)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _zero_dtable():
-        dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
+    if table_grad:
+        @pl.when(pl.program_id(1) == 0)
+        def _zero_dtable():
+            dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
 
     # ---- forward recompute (same math as _chain_kernel) -----------------
     groups = []
@@ -320,14 +330,23 @@ def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
     dk0 = lax.dot_general(dh1, qg, (((1,), (1,)), ((), ())),
                           preferred_element_type=jnp.float32)  # (f_p, c_pad)
     dk0_ref[...] += jnp.pad(dk0, ((0, 0), (0, lanes_c - c_pad)))
-    dqg = jnp.dot(w0f_ref[:, :f_p], dh1,
-                  preferred_element_type=jnp.float32)  # (c_pad, R)
+    if table_grad:
+        dqg = jnp.dot(w0f_ref[:, :f_p], dh1,
+                      preferred_element_type=jnp.float32)  # (c_pad, R)
+    else:
+        # only the xyz sublanes of dqg feed dcenters; the full (c_pad, R)
+        # matmul exists solely for the dtable scatter
+        dqg = jnp.dot(w0f_ref[:8, :f_p], dh1,
+                      preferred_element_type=jnp.float32)  # (8, R)
 
     # ---- dcenters: -sum_s dqg slice, xyz sublanes ------------------------
     dctr = dqg[:8, :TC]
     for s in range(1, S):
         dctr = dctr + dqg[:8, s * TC:(s + 1) * TC]
     dctr_ref[0] = -dctr
+
+    if not table_grad:
+        return
 
     # ---- dtable: one-hot MXU scatter-add, exact 3-term payload split.
     # fori_loop (not an unrolled python loop) so Mosaic reuses one
@@ -365,12 +384,21 @@ def _pe_bwd_kernel(table_ref, idx_ref, ctr_ref, gt_ref, w0t_ref, b0_ref,
 
 def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
                         k0: jax.Array, b0: jax.Array, k1: jax.Array,
-                        b1: jax.Array, nsample: int, cot: jax.Array):
+                        b1: jax.Array, nsample: int, cot: jax.Array,
+                        table_grad: bool = True):
     """VJP of `group_pe_max_pallas` w.r.t. (table, centers, k0, b0, k1, b1).
 
     cot (B, M, G) is the output cotangent. Returns gradients with the
     callers' shapes/dtypes. b1's gradient is sum(cot) (the bias is inside
     the max but constant across S, so it cancels out of the tie routing).
+
+    `table_grad=False` skips the dtable one-hot MXU scatter — the dominant
+    arithmetic of the backward (3 bf16 passes x S groups x (c_pad, 128) @
+    (128, n_pad) per grid step) — and returns only
+    (d_centers, d_k0, d_b0, d_k1, d_b1). For frozen tables (the posed
+    stage's body xyz+normals, which are batch data with no path to any
+    trained parameter) that work is computed-then-discarded otherwise; XLA
+    cannot DCE inside the fused kernel.
     """
     B, N, C = table.shape
     M = idx.shape[1]
@@ -405,8 +433,13 @@ def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
 
     kern = functools.partial(
         _pe_bwd_kernel, S=S, TC=TC, n_chunks=n_pad // 128, c_pad=c_pad,
-        f_p=f_p, g_p=g_p, lanes_c=lanes_c)
-    dtable, dctr, dk0, db0, dk1, db1 = pl.pallas_call(
+        f_p=f_p, g_p=g_p, lanes_c=lanes_c, table_grad=table_grad)
+    dtable_specs = (
+        (pl.BlockSpec((1, c_pad, n_pad), lambda b_, j: (b_, 0, 0),
+                      memory_space=pltpu.VMEM),),
+        (jax.ShapeDtypeStruct((B, c_pad, n_pad), jnp.float32),),
+    ) if table_grad else ((), ())
+    outs = pl.pallas_call(
         kern,
         grid=(B, m_pad // TC),
         in_specs=[
@@ -430,9 +463,7 @@ def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
             pl.BlockSpec((f_p, 128), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, c_pad, n_pad), lambda b_, j: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=dtable_specs[0] + (
             pl.BlockSpec((1, 8, TC), lambda b_, j: (b_, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f_p, lanes_c), lambda b_, j: (0, 0),
@@ -444,22 +475,28 @@ def fused_pe_bwd_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
             pl.BlockSpec((g_p, 128), lambda b_, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, c_pad, n_pad), jnp.float32),
+        out_shape=dtable_specs[1] + (
             jax.ShapeDtypeStruct((B, 8, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((f_p, lanes_c), jnp.float32),
             jax.ShapeDtypeStruct((f_p, 128), jnp.float32),
             jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
             jax.ShapeDtypeStruct((g_p, 128), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM(((S * TC) // 128, c_pad, 128),
-                                   jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM(((S * TC) // 128, c_pad, 128), jnp.float32)]
+            if table_grad else []),
     )(t, ix, ctr, gt, w0t, b0p, w1t, w0f, w1f)
 
-    d_table = jnp.transpose(dtable[:, :C, :N], (0, 2, 1)).astype(table.dtype)
+    if table_grad:
+        dtable, dctr, dk0, db0, dk1, db1 = outs
+    else:
+        dctr, dk0, db0, dk1, db1 = outs
     d_centers = jnp.transpose(dctr[:, :3, :M], (0, 2, 1)).astype(centers.dtype)
     d_k0 = jnp.transpose(dk0[:F, :C]).astype(k0.dtype)
     d_b0 = db0[:F, 0].astype(b0.dtype)
     d_k1 = jnp.transpose(dk1[:G, :F]).astype(k1.dtype)
     d_b1 = db1[:G, 0].astype(b1.dtype)
+    if not table_grad:
+        return d_centers, d_k0, d_b0, d_k1, d_b1
+    d_table = jnp.transpose(dtable[:, :C, :N], (0, 2, 1)).astype(table.dtype)
     return d_table, d_centers, d_k0, d_b0, d_k1, d_b1

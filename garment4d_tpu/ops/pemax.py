@@ -64,16 +64,30 @@ def _pe_impl(table, idx, centers, k0, b0, k1, b1):
     return _pe_reference(table, idx, centers, k0, b0, k1, b1)
 
 
-@jax.custom_vjp
 def group_pe_max(table: Array, idx: Array, centers: Array, k0: Array,
-                 b0: Array, k1: Array, b1: Array) -> Array:
+                 b0: Array, k1: Array, b1: Array,
+                 table_grad: bool = True) -> Array:
     """Fused gather + (relu((x - c) @ k0 + b0) @ k1 + b1) + max over S.
 
     table (B, N, C) source rows (xyz on channels 0..2); idx (B, M, S) int
     neighbour rows; centers (B, M, 3); k0 (C, F); b0 (F,); k1 (F, G);
     b1 (G,) -> (B, M, G). Differentiable in everything but idx; the
     backward recomputes the unfused formulation (max subgradient to the
-    recomputed argmax slot, gathers' grad = deterministic scatter-add)."""
+    recomputed argmax slot, gathers' grad = deterministic scatter-add).
+
+    `table_grad=False` declares the table non-trainable (e.g. the posed
+    stage's body xyz+normals, pure batch data): the backward then skips the
+    dtable scatter — the dominant arithmetic of the fused backward kernel,
+    which XLA could never DCE from inside the fused call — and the table
+    cotangent is zero."""
+    if table_grad:
+        return _group_pe_max(table, idx, centers, k0, b0, k1, b1)
+    return _group_pe_max_nt(jax.lax.stop_gradient(table), idx, centers,
+                            k0, b0, k1, b1)
+
+
+@jax.custom_vjp
+def _group_pe_max(table, idx, centers, k0, b0, k1, b1):
     return _pe_impl(table, idx, centers, k0, b0, k1, b1)
 
 
@@ -106,7 +120,112 @@ def _pe_bwd(res, g):
     return dt, None, dc, dk0, db0, dk1, db1
 
 
-group_pe_max.defvjp(_pe_fwd, _pe_bwd)
+_group_pe_max.defvjp(_pe_fwd, _pe_bwd)
+
+
+@jax.custom_vjp
+def _group_pe_max_nt(table, idx, centers, k0, b0, k1, b1):
+    """`group_pe_max` with a frozen table (table_grad=False)."""
+    return _pe_impl(table, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_nt_fwd(table, idx, centers, k0, b0, k1, b1):
+    out = _pe_impl(table, idx, centers, k0, b0, k1, b1)
+    return out, (table, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_nt_bwd(res, g):
+    table, idx, centers, k0, b0, k1, b1 = res
+    if jax.default_backend() == "tpu" and table.dtype == jnp.float32:
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_pe_bwd_pallas,
+            pe_bwd_supported,
+        )
+
+        if pe_bwd_supported(table.shape[1], table.shape[2], idx.shape[2],
+                            k0.shape[1], k1.shape[1], table_grad=False):
+            dc, dk0, db0, dk1, db1 = fused_pe_bwd_pallas(
+                table, idx, centers, k0, b0, k1, b1, int(idx.shape[2]), g,
+                table_grad=False)
+            return jnp.zeros_like(table), None, dc, dk0, db0, dk1, db1
+    # reference fallback: differentiate w.r.t. everything but the table, so
+    # the gather backward (scatter-add) is never built
+    _, vjp = jax.vjp(
+        lambda c, a0, a1, a2, a3: _pe_reference(table, idx, c, a0, a1, a2,
+                                                a3),
+        centers, k0, b0, k1, b1)
+    dc, dk0, db0, dk1, db1 = vjp(g)
+    return jnp.zeros_like(table), None, dc, dk0, db0, dk1, db1
+
+
+_group_pe_max_nt.defvjp(_pe_nt_fwd, _pe_nt_bwd)
+
+
+def _split_fwd_impl(xyz, features, idx, centers, k0, b0, k1, b1):
+    """Split-projected forward: project features to F once per point, gather
+    the narrow (3+F) packed table (bitwise-identical to gathering raw rows
+    then projecting — the gather commutes with the per-point matmul)."""
+    proj = jnp.einsum("bnc,cf->bnf", features, k0[3:])
+    packed = jnp.concatenate([xyz, proj], axis=-1)
+    kfull = jnp.concatenate(
+        [k0[:3], jnp.eye(k0.shape[1], dtype=k0.dtype)], axis=0)
+    return _pe_impl(packed, idx, centers, kfull, b0, k1, b1)
+
+
+@jax.custom_vjp
+def group_pe_max_split_frozen(xyz: Array, features: Array, idx: Array,
+                              centers: Array, k0: Array, b0: Array,
+                              k1: Array, b1: Array) -> Array:
+    """`group_pe_max` over `concat(xyz, features)` with a FROZEN source
+    table and the first Linear split around the gather.
+
+    Forward: the split-projected form (SplitQueryGroupPE's trick) — features
+    are projected to `F` once per point so the row gather is (3+F) wide
+    instead of (3+C). Backward: the UNSPLIT formulation over the raw
+    (3+C)-channel table, which lets the fused backward kernel accumulate
+    dk0 directly from the gathered raw features and skip the dtable one-hot
+    MXU scatter entirely (with the split form, k0[3:]'s gradient only exists
+    via dtable — the scatter is unavoidable there). xyz/features receive
+    zero cotangents: callers use this for frozen stage-1 garment levels.
+
+    k0 is the full (3+C, F) first-layer weight. Output bitwise-identical to
+    the split forward; gradients equal the unsplit reference VJP (summation
+    order inside the first-layer dot differs from the split forward by fp
+    rounding, which only matters for exact non-replica ties in the max
+    routing — replicated slots still tie exactly)."""
+    return _split_fwd_impl(xyz, features, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_sf_fwd(xyz, features, idx, centers, k0, b0, k1, b1):
+    out = _split_fwd_impl(xyz, features, idx, centers, k0, b0, k1, b1)
+    return out, (xyz, features, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_sf_bwd(res, g):
+    xyz, features, idx, centers, k0, b0, k1, b1 = res
+    table = lax.stop_gradient(jnp.concatenate([xyz, features], axis=-1))
+    zeros = (jnp.zeros_like(xyz), jnp.zeros_like(features), None)
+    if jax.default_backend() == "tpu" and table.dtype == jnp.float32:
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_pe_bwd_pallas,
+            pe_bwd_supported,
+        )
+
+        if pe_bwd_supported(table.shape[1], table.shape[2], idx.shape[2],
+                            k0.shape[1], k1.shape[1], table_grad=False):
+            dc, dk0, db0, dk1, db1 = fused_pe_bwd_pallas(
+                table, idx, centers, k0, b0, k1, b1, int(idx.shape[2]), g,
+                table_grad=False)
+            return zeros + (dc, dk0, db0, dk1, db1)
+    _, vjp = jax.vjp(
+        lambda c, a0, a1, a2, a3: _pe_reference(table, idx, c, a0, a1, a2,
+                                                a3),
+        centers, k0, b0, k1, b1)
+    dc, dk0, db0, dk1, db1 = vjp(g)
+    return zeros + (dc, dk0, db0, dk1, db1)
+
+
+group_pe_max_split_frozen.defvjp(_pe_sf_fwd, _pe_sf_bwd)
 
 
 def _chain_reference(table: Array, idx: Array, centers: Array, weights,
@@ -217,7 +336,8 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
                          pe_params: Sequence, cap_frac: float = 0.72,
                          use_pallas=None, spatial: bool = False,
                          candidates: dict = None,
-                         reuse_margin: float = 0.0):
+                         reuse_margin: float = 0.0,
+                         table_grad: bool = True):
     """Candidate-compacted multi-radius ball query + fused PE blocks.
 
     Returns a tuple of (B, M, G_i) PE features, exactly
@@ -230,6 +350,9 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     kernel -> order-preserving compaction -> exact no-hit fixup, cond
     fallback to the full point set on candidate overflow), but the grouped
     neighbourhoods feed the fused PE kernel instead of materialising.
+
+    `table_grad=False` declares (xyz, features) non-trainable: the PE
+    backwards then skip their dtable scatters (see `group_pe_max`).
 
     `spatial=True` orders the compacted candidates by Morton code instead of
     index (`ops.morton`): each center tile's hits land in a narrow group
@@ -263,7 +386,8 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     def pe_all(table, idxs, centers):
         outs = []
         for idx, (k0, b0, k1, b1) in zip(idxs, pe_params):
-            outs.append(group_pe_max(table, idx, centers, k0, b0, k1, b1))
+            outs.append(group_pe_max(table, idx, centers, k0, b0, k1, b1,
+                                     table_grad=table_grad))
         return outs
 
     def no_hit_fix(outs, idxs, row0, centers, cdist0):

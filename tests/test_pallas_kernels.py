@@ -4,6 +4,8 @@ The TPU-compiled kernels are additionally validated against the XLA paths on
 real hardware (see README perf notes); these tests pin the kernel semantics.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -965,6 +967,103 @@ class TestFusedPeBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-5, atol=atol,
                 err_msg=f"{name} diverges from reference VJP")
+
+    def test_no_table_grad_matches_reference_vjp(self, rng):
+        """table_grad=False kernel: identical (dcenters, dk0, db0, dk1, db1)
+        to the reference VJP, no dtable output (the posed stage's body PE
+        tables are batch data — their dtable scatter is skipped)."""
+        from garment4d_tpu.ops.pallas.fusedpe import fused_pe_bwd_pallas
+        from garment4d_tpu.ops.pemax import _pe_reference
+
+        table, idx, centers, k0, b0, k1, b1, cot = self._case(rng)
+        args = tuple(jnp.asarray(a) for a in (table, centers, k0, b0, k1, b1))
+        idx_j, cot_j = jnp.asarray(idx), jnp.asarray(cot)
+
+        _, vjp = jax.vjp(
+            lambda c, a0, a1, a2, a3: _pe_reference(
+                args[0], idx_j, c, a0, a1, a2, a3), *args[1:])
+        want = vjp(cot_j)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_pe_bwd_pallas(args[0], idx_j, args[1], *args[2:],
+                                      int(idx.shape[2]), cot_j,
+                                      table_grad=False)
+        assert len(got) == 5
+        names = ("dcenters", "dk0", "db0", "dk1", "db1")
+        atols = (2e-6, 1e-4, 1e-4, 1e-4, 1e-4)
+        for name, a, b, atol in zip(names, got, want, atols):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=atol,
+                err_msg=f"{name} diverges from reference VJP")
+
+    def test_group_pe_max_no_table_grad_end_to_end(self, rng):
+        """ops.group_pe_max(table_grad=False): zero table cotangent, all
+        other grads equal to the default path's."""
+        from garment4d_tpu import ops
+
+        table, idx, centers, k0, b0, k1, b1, cot = self._case(
+            rng, B=1, N=120, M=40, S=4)
+        args = tuple(jnp.asarray(a) for a in (table, centers, k0, b0, k1, b1))
+        idx_j, cot_j = jnp.asarray(idx), jnp.asarray(cot)
+
+        def loss(table_grad, t, c, a0, a1, a2, a3):
+            return jnp.sum(ops.group_pe_max(t, idx_j, c, a0, a1, a2, a3,
+                                            table_grad=table_grad) * cot_j)
+
+        g_nt = jax.grad(functools.partial(loss, False),
+                        argnums=tuple(range(6)))(*args)
+        g_full = jax.grad(functools.partial(loss, True),
+                          argnums=tuple(range(6)))(*args)
+        np.testing.assert_array_equal(np.asarray(g_nt[0]), 0.0)
+        for a, b in zip(g_nt[1:], g_full[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_group_pe_max_split_frozen(self, rng):
+        """Split-projected fwd == unsplit fwd; grads w.r.t. (centers, k0,
+        b0, k1, b1) == unsplit reference VJP; frozen inputs get zeros
+        (the garment-PE pattern: SplitQueryGroupPE over stage-1 levels)."""
+        from garment4d_tpu import ops
+        from garment4d_tpu.ops.pemax import _pe_reference
+
+        B, N, M, S, C, F = 1, 120, 40, 4, 9, 32
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        centers = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        idx_np = rng.randint(0, N, (B, M, S)).astype(np.int32)
+        idx_np[:, :, S // 2:] = idx_np[:, :, :1]
+        idx = jnp.asarray(idx_np)
+        k0 = jnp.asarray(rng.randn(3 + C, F).astype(np.float32) * 0.3)
+        b0 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)
+        k1 = jnp.asarray(rng.randn(F, F).astype(np.float32) * 0.3)
+        b1 = jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(B, M, F).astype(np.float32))
+        table = jnp.concatenate([xyz, feats], axis=-1)
+
+        out = ops.group_pe_max_split_frozen(xyz, feats, idx, centers,
+                                            k0, b0, k1, b1)
+        want_out = _pe_reference(table, idx, centers, k0, b0, k1, b1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(x, f, c, a0, a1, a2, a3):
+            return jnp.sum(ops.group_pe_max_split_frozen(
+                x, f, idx, c, a0, a1, a2, a3) * cot)
+
+        grads = jax.grad(loss, argnums=tuple(range(7)))(
+            xyz, feats, centers, k0, b0, k1, b1)
+        np.testing.assert_array_equal(np.asarray(grads[0]), 0.0)
+        np.testing.assert_array_equal(np.asarray(grads[1]), 0.0)
+
+        def ref_loss(c, a0, a1, a2, a3):
+            return jnp.sum(_pe_reference(table, idx, c, a0, a1, a2, a3)
+                           * cot)
+
+        want = jax.grad(ref_loss, argnums=tuple(range(5)))(
+            centers, k0, b0, k1, b1)
+        for a, b in zip(grads[2:], want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
 
     def test_group_pe_max_grads_use_kernel_path_semantics(self, rng):
         """End-to-end custom_vjp: grads of ops.group_pe_max == grads of the

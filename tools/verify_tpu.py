@@ -257,6 +257,66 @@ def main():
 
     r.check("fused PE backward kernel", pe_bwd)
 
+    def pe_bwd_nt():
+        # table_grad=False variant (posed body PEs: table is batch data) —
+        # must equal the reference VJP w.r.t. (centers, k0, b0, k1, b1)
+        from garment4d_tpu.ops import pemax
+        from garment4d_tpu.ops.pallas.fusedpe import fused_pe_bwd_pallas
+
+        table = jnp.concatenate([body, feats[..., :3]], axis=-1)  # C=6
+        gidx = jnp.asarray(rng.randint(0, N, (B, Vg, 32)).astype(np.int32))
+        k0 = jnp.asarray(rng.randn(6, 32).astype(np.float32) * 0.3)
+        b0 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        k1 = jnp.asarray(rng.randn(32, 32).astype(np.float32) * 0.3)
+        b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(B, Vg, 32).astype(np.float32))
+        got = fused_pe_bwd_pallas(table, gidx, garment, k0, b0, k1, b1,
+                                  32, cot, table_grad=False)
+        assert len(got) == 5
+        _, vjp = jax.vjp(
+            lambda c, a0, a1, a2, a3: pemax._pe_reference(
+                table, gidx, c, a0, a1, a2, a3),
+            garment, k0, b0, k1, b1)
+        want = vjp(cot)
+        for g, w, tol in zip(got, want, (2e-4, 3e-3, 3e-3, 3e-3, 3e-3)):
+            close(g, w, tol=tol)
+
+    r.check("fused PE backward, table_grad=False", pe_bwd_nt)
+
+    def pe_split_frozen():
+        # garment-PE pattern at production-ish widths: split-projected fwd,
+        # unsplit no-dtable bwd (ops.group_pe_max_split_frozen)
+        from garment4d_tpu.ops import pemax
+
+        Ng = 1722
+        gxyz = jnp.asarray(rng.randn(B, Ng, 3).astype(np.float32) * 0.3)
+        gfeat = jnp.asarray(rng.randn(B, Ng, 64).astype(np.float32))
+        gidx = jnp.asarray(rng.randint(0, Ng, (B, Vg, 32)).astype(np.int32))
+        k0 = jnp.asarray(rng.randn(67, 32).astype(np.float32) * 0.2)
+        b0 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        k1 = jnp.asarray(rng.randn(32, 32).astype(np.float32) * 0.3)
+        b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(B, Vg, 32).astype(np.float32))
+        table = jnp.concatenate([gxyz, gfeat], axis=-1)
+
+        def loss(c, a0, a1, a2, a3):
+            return jnp.sum(ops.group_pe_max_split_frozen(
+                gxyz, gfeat, gidx, c, a0, a1, a2, a3) * cot)
+
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+            garment, k0, b0, k1, b1)
+
+        def ref(c, a0, a1, a2, a3):
+            return jnp.sum(pemax._pe_reference(
+                table, gidx, c, a0, a1, a2, a3) * cot)
+
+        want = jax.jit(jax.grad(ref, argnums=(0, 1, 2, 3, 4)))(
+            garment, k0, b0, k1, b1)
+        for g, w, tol in zip(got, want, (2e-4, 3e-3, 3e-3, 3e-3, 3e-3)):
+            close(g, w, tol=tol)
+
+    r.check("group_pe_max_split_frozen grads", pe_split_frozen)
+
     def chain():
         from garment4d_tpu.ops import pemax
 
