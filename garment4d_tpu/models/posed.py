@@ -297,6 +297,23 @@ class PosedGarmentModel(nn.Module):
         ]
 
         cur_garment_v = lbs.posed_garment.reshape(BT, Vg, 3)
+        if self.spatial_sample:
+            # The other half of the window mechanism: Morton-sort the QUERY
+            # CENTERS too. With Z-ordered tables but template-ordered centers
+            # every 256-row center tile of the grouped ball-query kernel
+            # spans the whole garment, so the per-tile [lo, bound) group
+            # windows (a max over the tile's rows) stay wide; spatially
+            # coherent tiles collapse them to the few groups around the
+            # tile's neighbourhood. Center order is semantically FREE - each
+            # center's query/PE output is independent of the others, and the
+            # inverse gather below restores template order bitwise - so one
+            # permutation computed at the LBS garment (iteration-0 centers)
+            # is reused across iterations: GCN drift only widens the
+            # windows, it can never change results.
+            from garment4d_tpu.ops import morton
+
+            cperm = morton.spatial_order(cur_garment_v)          # (BT, Vg)
+            cinv = jnp.argsort(cperm, axis=1).astype(jnp.int32)  # inverse
         iter_results = []
         hidden_feats = []  # per-iteration 128-d feature after the 3rd GCN layer
         reuse_margin = float(self.candidate_reuse_margin)
@@ -324,17 +341,26 @@ class PosedGarmentModel(nn.Module):
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)
+            # spatial mode: queries see Morton-sorted centers; their
+            # per-center PE outputs are gathered back to template order
+            # before feeding the (template-ordered) GCN adjacency
+            if self.spatial_sample:
+                cur_q = ops.gather_points(cur_garment_v, cperm)
+            else:
+                cur_q = cur_garment_v
             if reuse_margin > 0.0:
                 body_pes, body_state = body_block(
-                    cur_garment_v, body_v, body_vn, body_pe_params,
-                    body_state)
+                    cur_q, body_v, body_vn, body_pe_params, body_state)
             else:
-                body_pes = body_block(cur_garment_v, body_v, body_vn,
+                body_pes = body_block(cur_q, body_v, body_vn,
                                       body_pe_params, None)
+            if self.spatial_sample:
+                body_pes = [ops.gather_points(p, cinv) for p in body_pes]
             pe_list.extend(body_pes)
             for i in range(3):
-                pe = garment_pes[i](garment_xyz[i], cur_garment_v,
-                                    garment_feats[i])
+                pe = garment_pes[i](garment_xyz[i], cur_q, garment_feats[i])
+                if self.spatial_sample:
+                    pe = ops.gather_points(pe, cinv)
                 pe_list.append(pe)
             # pe_list: [xyz, 3 body PEs, 3 garment PEs] (+ attention mix
             # below) - consumed as pieces by ops.gcn_stack, never

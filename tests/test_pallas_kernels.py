@@ -810,6 +810,43 @@ class TestMortonSpatial:
             np.testing.assert_allclose(np.asarray(g), want,
                                        rtol=1e-4, atol=1e-5)
 
+    def test_center_permutation_invariance(self, rng):
+        """Query-center order is semantically free: permuting the centers and
+        inverse-gathering the per-center outputs must be BITWISE identical.
+        This is the property `PosedGarmentModel(spatial_sample=True)` relies
+        on when it Morton-sorts the query centers so the grouped kernel's
+        per-tile group windows collapse (the sort is a pure perf device)."""
+        from garment4d_tpu import ops
+        from garment4d_tpu.ops.morton import spatial_order
+
+        B, N, M = 2, 1152, 64
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.6
+        vn = rng.randn(B, N, 3).astype(np.float32)
+        ctr = np.concatenate(
+            [xyz[:, :56] * 0.2, np.full((B, 8, 3), 30.0, np.float32)],
+            axis=1)
+        radii, ss = (0.2, 0.45), (4, 8)
+        params = [tuple(jnp.asarray(a) for a in (
+            rng.randn(6, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32),
+            rng.randn(32, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32))) for _ in ss]
+        perm = spatial_order(jnp.asarray(ctr))        # (B, M)
+        inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+        sorted_ctr = jnp.take_along_axis(jnp.asarray(ctr),
+                                         perm[..., None], axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            base = ops.query_group_pe_multi(
+                radii, ss, jnp.asarray(xyz), jnp.asarray(ctr),
+                jnp.asarray(vn), params, use_pallas=True, spatial=True)
+            got = ops.query_group_pe_multi(
+                radii, ss, jnp.asarray(xyz), sorted_ctr,
+                jnp.asarray(vn), params, use_pallas=True, spatial=True)
+        for b, g in zip(base, got):
+            unperm = jnp.take_along_axis(
+                g, jnp.broadcast_to(inv[..., None], g.shape), axis=1)
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(unperm))
+
 
 class TestCandidateReuse:
     """Candidate-set reuse across refinement iterations
