@@ -101,6 +101,47 @@ def _time_fn(run, sync, iters=10):
                            label="timed measurement")
 
 
+class _phase_heartbeat:
+    """Emit progress lines every `every_s` while a long SINGLE-CALL phase
+    (a train-step recompile, the headline compile) runs, for at most `cap_s`.
+
+    Why: the supervisor's stall watchdog kills the worker after `stall_s`
+    (900 s) without output - correct for a wedged chip, but a LEGITIMATE
+    recompile after a call-site change can exceed it silently (observed: the
+    posed train-step recompile ran past 900 s and was killed as a hang,
+    costing that metric). The heartbeat is deliberately BOUNDED: past
+    `cap_s` it goes silent again, so the stall watchdog regains authority
+    and a truly wedged phase is still killed at cap_s + stall_s worst case
+    (the global deadline bounds everything regardless).
+    """
+
+    def __init__(self, label: str, cap_s: float, every_s: float = 120.0):
+        self.label, self.cap_s, self.every_s = label, cap_s, every_s
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+        t0 = time.time()
+
+        def beat():
+            while not self._stop.wait(self.every_s):
+                el = time.time() - t0
+                if el > self.cap_s:
+                    _progress(f"{self.label}: heartbeat cap "
+                              f"({self.cap_s:.0f}s) reached - going silent "
+                              "so the stall watchdog can judge")
+                    return
+                _progress(f"{self.label}: still running ({el:.0f}s)")
+
+        threading.Thread(target=beat, daemon=True).start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        return False
+
+
 def _maybe_inject_fault(point: str) -> None:
     """Test hook: `G4D_BENCH_FAULT={pre_headline,post_headline}` makes the
     FIRST worker attempt die at that point with a relay-shaped error, and
@@ -241,7 +282,8 @@ def worker(headline_only: bool) -> int:
     # ---- headline: posed-stage inference -------------------------------
     _maybe_inject_fault("pre_headline")
     _progress("compiling + timing posed forward (headline)")
-    dt = _time_fn(lambda: posed_fwd(batch["pcd"], body), sync)
+    with _phase_heartbeat("posed fwd compile+time", cap_s=1500):
+        dt = _time_fn(lambda: posed_fwd(batch["pcd"], body), sync)
     posed_fps = B * T / dt
     record = {
         "metric": "posed_stage_frames_per_sec_per_chip",
@@ -318,7 +360,8 @@ def worker(headline_only: bool) -> int:
         def canon_fwd(pcd):
             return canon.apply(canon_vars, pcd, train=False).tpose_garment
 
-        dt_c = _time_fn(lambda: canon_fwd(batch["pcd"]), sync)
+        with _phase_heartbeat("canonical compile+time", cap_s=1200):
+            dt_c = _time_fn(lambda: canon_fwd(batch["pcd"]), sync)
         extra["canonical_fwd_frames_per_sec"] = round(B * T / dt_c, 2)
 
     section("canonical forward", 180, canonical)
@@ -339,7 +382,11 @@ def worker(headline_only: bool) -> int:
             holder["state"], losses = train_step(holder["state"], tb, rng)
             return losses["total_loss"]
 
-        dt_t = _time_fn(run_train, sync, iters=5)
+        # the train step is the longest compile unit in the repo (fwd + all
+        # losses + bwd + Adam): a cold cache after any call-site change runs
+        # well past the 900 s stall window
+        with _phase_heartbeat("train-step compile+time", cap_s=1500):
+            dt_t = _time_fn(run_train, sync, iters=5)
         extra["posed_train_frames_per_sec"] = round(Bt * T / dt_t, 2)
         extra["posed_train_step_s"] = round(dt_t, 4)
 

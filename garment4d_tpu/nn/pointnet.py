@@ -60,18 +60,35 @@ class SAModuleMSG(nn.Module):
                    and jax.default_backend() == "tpu")
         c_in = 3 + (features.shape[-1] if features is not None else 0)
 
+        fuse_scale = [
+            fuse_ok and chain_supported(xyz.shape[1], c_in, self.nsamples[i],
+                                        tuple(self.mlps[i]),
+                                        m=new_xyz.shape[1])
+            for i in range(len(self.mlps))
+        ]
+        # ONE multi-radius dispatch for all fused scales: the query kernel
+        # shares the distance tile across radii and packs two radii's hit
+        # masks into each prefix scan (ops/pallas/ball_query.py), so issuing
+        # an MSG stage as per-radius queries re-pays the distance + scan
+        # phases per scale — measured 31.7 -> ~23 ms on the posed stage's
+        # sa1 (1024 centers x 6890 points x 2 radii) at production shapes.
+        qidxs = {}
+        if sum(fuse_scale) >= 2:
+            fused_is = [i for i, f in enumerate(fuse_scale) if f]
+            multi = ops.ball_query_multi(
+                tuple(self.radii[i] for i in fused_is),
+                tuple(self.nsamples[i] for i in fused_is), xyz, new_xyz)
+            qidxs = dict(zip(fused_is, multi))
+
         outs = []
         for i in range(len(self.mlps)):
             mlp = SharedMLP(self.mlps[i], bn=self.bn,
                             bn_axis_name=self.bn_axis_name,
                             dtype=self.dtype, name=f"mlp{i}")
-            if (fuse_ok and chain_supported(xyz.shape[1], c_in,
-                                            self.nsamples[i],
-                                            tuple(self.mlps[i]),
-                                            m=new_xyz.shape[1])):
+            if fuse_scale[i]:
                 ws, bs = mlp.folded(c_in)
-                qidx = ops.ball_query(self.radii[i], self.nsamples[i],
-                                      xyz, new_xyz)
+                qidx = qidxs[i] if i in qidxs else ops.ball_query(
+                    self.radii[i], self.nsamples[i], xyz, new_xyz)
                 table = (jnp.concatenate([xyz, features], axis=-1)
                          if features is not None else xyz)
                 outs.append(ops.group_chain_max(

@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--weights", default=None,
+                    help="npz variables to load (default: the checked-in "
+                         "ckpt_synth/posed_synth.npz when present, matching "
+                         "bench.py's operating point; 'random' disables). "
+                         "Hit densities are data-dependent, so profiles at "
+                         "random-init weights mis-rank the query kernels.")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +95,22 @@ def main():
     body = body_inputs_from_batch(batch)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch["pcd"], body, train=False)
+
+    import os
+
+    if args.which in ("posed", "train"):
+        weights = args.weights or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "ckpt_synth", "posed_synth.npz")
+        if args.weights not in (None, "random") and not os.path.exists(weights):
+            raise FileNotFoundError(f"--weights {weights!r} does not exist")
+        if args.weights != "random" and os.path.exists(weights):
+            from garment4d_tpu.train.checkpoint import load_variables_npz
+
+            variables = load_variables_npz(weights, variables)
+            print(f"weights: {os.path.basename(weights)}")
+        else:
+            print("weights: random-init")
 
     if args.which == "train":
         from garment4d_tpu.train.step import make_posed_steps, make_state_for

@@ -97,3 +97,32 @@ def test_total_failure_emits_error_record():
     last = records[-1]
     assert "error" in last
     assert len(last["attempts"]) == 3
+
+
+def test_phase_heartbeat_bounded():
+    """The worker's long-phase heartbeat keeps the stall watchdog fed during
+    a legitimate slow compile, then goes SILENT past its cap so a truly
+    wedged phase is still killed (heartbeats must never fully defeat stall
+    detection)."""
+    import importlib.util
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    lines = []
+    orig = bench._progress
+    bench._progress = lambda msg: lines.append(msg)
+    try:
+        with bench._phase_heartbeat("slowphase", cap_s=0.25, every_s=0.1):
+            _time.sleep(0.8)
+    finally:
+        bench._progress = orig
+    beats = [m for m in lines if "still running" in m]
+    caps = [m for m in lines if "heartbeat cap" in m]
+    assert beats, f"no heartbeat lines: {lines}"
+    assert len(caps) == 1, f"cap line missing/duplicated: {lines}"
+    # silence after the cap: the cap line is the LAST line emitted
+    assert lines[-1] == caps[0]
