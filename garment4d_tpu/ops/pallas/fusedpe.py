@@ -205,6 +205,172 @@ def group_pe_max_pallas(table: jax.Array, idx: jax.Array, centers: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# dynamic-valid-count forward (candidate-compacted tables)
+# ---------------------------------------------------------------------------
+#
+# The posed stage's body-PE blocks gather from the candidate-COMPACTED body
+# table (`ops/pemax.py:query_group_pe_multi`): a static `cap` rows (~0.72 N)
+# of which only the per-frame coverage count (often ~45-65%) are real - the
+# rest are 1e9 sentinels no ball query can ever hit, so no idx points at
+# them. The static `_chain_kernel` still scans every cap/128 chunk per
+# 128-row gather group (its dominant cost at c_pad=8). This variant carries
+# the per-batch-row valid counts via scalar prefetch (same mechanism as
+# `ball_query._bq_grouped_kernel`) and bounds the chunk scan at
+# ceil(nv/128) - exact for the same reason the query-side group skipping is.
+# The table is laid out (n_chunks, c_pad, 128) so the chunk loop can be a
+# `lax.fori_loop` with a traced bound (dynamic leading-dim ref loads are
+# supported; dynamic lane slices are not).
+
+
+def _chain_kernel_nv(nvalid_ref, table_ref, idx_ref, ctr_ref, *refs, S: int,
+                     TC: int, n_chunks: int, c_pad: int, dims, relus):
+    """`_chain_kernel` with a dynamic chunk bound. table_ref
+    (1, n_chunks, c_pad, 128); nvalid_ref (B,) scalar-prefetch; other refs
+    as in `_chain_kernel`."""
+    L = len(relus)
+    w_refs = refs[0:2 * L:2]
+    b_refs = refs[1:2 * L:2]
+    out_ref = refs[2 * L]
+    R = S * TC
+    j_groups = R // 128
+
+    nv = nvalid_ref[pl.program_id(0)]
+    live = jnp.minimum((nv + 127) // 128, n_chunks)
+
+    # ---- gather: chunk-outer fori loop with a traced bound --------------
+    chunk_ids = []
+    locals_ = []
+    for j in range(j_groups):
+        idxj = jnp.broadcast_to(idx_ref[0, 0, j:j + 1, :], (c_pad, 128))
+        chunk_ids.append(idxj // 128)
+        locals_.append(idxj - chunk_ids[j] * 128)
+
+    def body(c, gs):
+        chunk = table_ref[0, c]  # (c_pad, 128) dynamic leading-dim load
+        return tuple(
+            jnp.where(chunk_ids[j] == c,
+                      jnp.take_along_axis(chunk, locals_[j], axis=1), gs[j])
+            for j in range(j_groups))
+
+    groups = lax.fori_loop(
+        0, live, body,
+        tuple(jnp.zeros((c_pad, 128), jnp.float32)
+              for _ in range(j_groups)))
+    g = jnp.concatenate(groups, axis=1)  # (c_pad, R)
+
+    # ---- identical tail to _chain_kernel --------------------------------
+    ctr = ctr_ref[0]  # (8, TC)
+    if c_pad > 8:
+        ctr = jnp.pad(ctr, ((0, c_pad - 8), (0, 0)))
+    ctr = jnp.concatenate([ctr] * S, axis=1)  # (c_pad, R) s-major
+    h = g - ctr
+
+    prev = c_pad
+    for i in range(L):
+        w = w_refs[i][:, :prev]
+        h = jnp.dot(w, h, preferred_element_type=jnp.float32)
+        h = h + b_refs[i][:, 0:1]
+        if relus[i]:
+            h = jnp.maximum(h, 0.0)
+        prev = dims[i]
+
+    acc = h[:, :TC]
+    for s in range(1, S):
+        acc = jnp.maximum(acc, h[:, s * TC:(s + 1) * TC])
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def fused_chain_pallas_nv(table: jax.Array, idx: jax.Array,
+                          centers: jax.Array, weights, biases, relus,
+                          nsample: int, n_valid: jax.Array) -> jax.Array:
+    """`fused_chain_pallas` for sentinel-padded tables: `n_valid` (B,) int32
+    counts the real leading rows per batch row; the in-kernel gather skips
+    chunks past it. EXACT iff no idx value is >= n_valid[b] (guaranteed for
+    ball-query outputs over 1e9-sentinel-padded tables - sentinels never
+    hit, no-hit centers yield idx 0)."""
+    B, N, C = table.shape
+    M = idx.shape[1]
+    S = nsample
+    L = len(weights)
+    n_pad = _round_up(N, 128)
+    c_pad = _round_up(C, 8)
+    dims = tuple(_round_up(w.shape[1], 8) for w in weights)
+    G = weights[-1].shape[1]
+    TC = _R_TILE // S
+    m_pad = _round_up(M, TC)
+    n_chunks = n_pad // 128
+
+    t = jnp.transpose(table, (0, 2, 1)).astype(jnp.float32)
+    t = jnp.pad(t, ((0, 0), (0, c_pad - C), (0, n_pad - N)))
+    # chunk-major layout for dynamic leading-dim loads in the kernel
+    t = jnp.transpose(t.reshape(B, c_pad, n_chunks, 128), (0, 2, 1, 3))
+    ix = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, m_pad - M), (0, 0)))
+    ix = ix.reshape(B, m_pad // TC, TC, S)
+    ix = jnp.transpose(ix, (0, 1, 3, 2)).reshape(
+        B, m_pad // TC, (S * TC) // 128, 128)
+    ctr = jnp.transpose(centers.astype(jnp.float32), (0, 2, 1))
+    ctr = jnp.pad(ctr, ((0, 0), (0, 5), (0, m_pad - M)))
+    nv = n_valid.reshape(B).astype(jnp.int32)
+
+    wb = []
+    wb_specs = []
+    prev = c_pad
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        f_i, lanes = dims[i], _round_up(prev, 128)
+        wt = jnp.pad(jnp.transpose(w.astype(jnp.float32)),
+                     ((0, f_i - w.shape[1]), (0, lanes - w.shape[0])))
+        bp = jnp.broadcast_to(
+            jnp.pad(b.astype(jnp.float32), (0, f_i - b.shape[0]))[:, None],
+            (f_i, 128))
+        wb.extend([wt, bp])
+        wb_specs.extend([
+            pl.BlockSpec((f_i, lanes), lambda b_, j, nv_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_i, 128), lambda b_, j, nv_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+        prev = f_i
+
+    kern = functools.partial(
+        _chain_kernel_nv, S=S, TC=TC, n_chunks=n_chunks, c_pad=c_pad,
+        dims=dims, relus=tuple(bool(r) for r in relus))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, m_pad // TC),
+        in_specs=[
+            pl.BlockSpec((1, n_chunks, c_pad, 128),
+                         lambda b_, j, nv_: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, (S * TC) // 128, 128),
+                         lambda b_, j, nv_: (b_, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TC), lambda b_, j, nv_: (b_, 0, j),
+                         memory_space=pltpu.VMEM),
+        ] + wb_specs,
+        out_specs=pl.BlockSpec((1, dims[-1], TC),
+                               lambda b_, j, nv_: (b_, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, dims[-1], m_pad), jnp.float32),
+    )(nv, t, ix, ctr, *wb)
+    return jnp.transpose(out[:, :G, :M], (0, 2, 1))
+
+
+def group_pe_max_pallas_nv(table: jax.Array, idx: jax.Array,
+                           centers: jax.Array, k0: jax.Array, b0: jax.Array,
+                           k1: jax.Array, b1: jax.Array, nsample: int,
+                           n_valid: jax.Array) -> jax.Array:
+    """`group_pe_max_pallas` over a sentinel-padded table (see
+    `fused_chain_pallas_nv`)."""
+    return fused_chain_pallas_nv(table, idx, centers, (k0, k1), (b0, b1),
+                                 (True, False), nsample, n_valid)
+
+
+# ---------------------------------------------------------------------------
 # fused PE backward
 # ---------------------------------------------------------------------------
 #

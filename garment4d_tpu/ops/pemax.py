@@ -50,15 +50,23 @@ def _pe_reference(table: Array, idx: Array, centers: Array, k0: Array,
     return jnp.max(h2, axis=2)
 
 
-def _pe_impl(table, idx, centers, k0, b0, k1, b1):
+def _pe_impl(table, idx, centers, k0, b0, k1, b1, n_valid=None):
     if jax.default_backend() == "tpu":
         from garment4d_tpu.ops.pallas.fusedpe import (
             group_pe_max_pallas,
+            group_pe_max_pallas_nv,
             pe_supported,
         )
 
         if (pe_supported(table.shape[1], table.shape[2], idx.shape[2])
                 and table.dtype == jnp.float32):
+            if n_valid is not None:
+                # sentinel-padded candidate table: the kernel's chunk scan
+                # stops at the per-frame valid count (exact - no idx can
+                # point past it; see fused_chain_pallas_nv)
+                return group_pe_max_pallas_nv(
+                    table, idx, centers, k0, b0, k1, b1,
+                    int(idx.shape[2]), n_valid)
             return group_pe_max_pallas(table, idx, centers, k0, b0, k1, b1,
                                        int(idx.shape[2]))
     return _pe_reference(table, idx, centers, k0, b0, k1, b1)
@@ -66,7 +74,7 @@ def _pe_impl(table, idx, centers, k0, b0, k1, b1):
 
 def group_pe_max(table: Array, idx: Array, centers: Array, k0: Array,
                  b0: Array, k1: Array, b1: Array,
-                 table_grad: bool = True) -> Array:
+                 table_grad: bool = True, n_valid: Array = None) -> Array:
     """Fused gather + (relu((x - c) @ k0 + b0) @ k1 + b1) + max over S.
 
     table (B, N, C) source rows (xyz on channels 0..2); idx (B, M, S) int
@@ -79,9 +87,19 @@ def group_pe_max(table: Array, idx: Array, centers: Array, k0: Array,
     stage's body xyz+normals, pure batch data): the backward then skips the
     dtable scatter — the dominant arithmetic of the fused backward kernel,
     which XLA could never DCE from inside the fused call — and the table
-    cotangent is zero."""
+    cotangent is zero.
+
+    `n_valid` (B,) int32, optional (table_grad=False only): per-batch count
+    of real leading table rows for sentinel-padded candidate tables; the
+    fused kernel's gather skips table chunks past it (exact as long as no
+    idx value is >= n_valid[b], which ball queries over sentinel-padded
+    tables guarantee)."""
     if table_grad:
+        assert n_valid is None, "n_valid requires table_grad=False"
         return _group_pe_max(table, idx, centers, k0, b0, k1, b1)
+    if n_valid is not None:
+        return _group_pe_max_nt_nv(jax.lax.stop_gradient(table), idx,
+                                   n_valid, centers, k0, b0, k1, b1)
     return _group_pe_max_nt(jax.lax.stop_gradient(table), idx, centers,
                             k0, b0, k1, b1)
 
@@ -159,6 +177,28 @@ def _pe_nt_bwd(res, g):
 
 
 _group_pe_max_nt.defvjp(_pe_nt_fwd, _pe_nt_bwd)
+
+
+@jax.custom_vjp
+def _group_pe_max_nt_nv(table, idx, n_valid, centers, k0, b0, k1, b1):
+    """`_group_pe_max_nt` over a sentinel-padded candidate table with a
+    dynamic valid-row count (chunk-skipping forward kernel)."""
+    return _pe_impl(table, idx, centers, k0, b0, k1, b1, n_valid=n_valid)
+
+
+def _pe_nt_nv_fwd(table, idx, n_valid, centers, k0, b0, k1, b1):
+    out = _pe_impl(table, idx, centers, k0, b0, k1, b1, n_valid=n_valid)
+    return out, (table, idx, centers, k0, b0, k1, b1)
+
+
+def _pe_nt_nv_bwd(res, g):
+    # same backward as the nt variant (recompute; the dtable scatter is
+    # skipped either way) - n_valid gets no cotangent
+    dt, _, dc, dk0, db0, dk1, db1 = _pe_nt_bwd(res, g)
+    return dt, None, None, dc, dk0, db0, dk1, db1
+
+
+_group_pe_max_nt_nv.defvjp(_pe_nt_nv_fwd, _pe_nt_nv_bwd)
 
 
 def _split_fwd_impl(xyz, features, idx, centers, k0, b0, k1, b1):
@@ -383,11 +423,14 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
     S_total = tuple(int(s) for s in nsamples)
     packed = jnp.concatenate([xyz, features], axis=-1)
 
-    def pe_all(table, idxs, centers):
+    def pe_all(table, idxs, centers, n_valid=None):
         outs = []
+        if table_grad:
+            n_valid = None  # chunk-skipping kernel is frozen-table only
         for idx, (k0, b0, k1, b1) in zip(idxs, pe_params):
             outs.append(group_pe_max(table, idx, centers, k0, b0, k1, b1,
-                                     table_grad=table_grad))
+                                     table_grad=table_grad,
+                                     n_valid=n_valid))
         return outs
 
     def no_hit_fix(outs, idxs, row0, centers, cdist0):
@@ -456,11 +499,13 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
         # are 1e9 sentinels - the kernel skips those groups' distance work
         ctr_s = lax.stop_gradient(centers)
         cxyz_s = lax.stop_gradient(st["cxyz"])
+        nv = jnp.minimum(st["counts"], cap)
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            cxyz_s, ctr_s, grouped=True,
-            n_valid_dyn=jnp.minimum(st["counts"], cap))
-        outs = pe_all(st["cpacked"], idxs, centers)
+            cxyz_s, ctr_s, grouped=True, n_valid_dyn=nv)
+        # the fused PE kernels' table-chunk scans stop at the same dynamic
+        # count the query kernel's group skipping uses
+        outs = pe_all(st["cpacked"], idxs, centers, n_valid=nv)
         d0 = jnp.sum((ctr_s - cxyz_s[:, 0:1, :]) ** 2, axis=-1)
         return no_hit_fix(outs, idxs, packed_full[:, 0, :], centers, d0)
 

@@ -693,6 +693,99 @@ class TestDynamicValidBallQuery:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestDynamicValidFusedPE:
+    """Chunk-skipping fused PE/chain kernel (`fused_chain_pallas_nv`) ==
+    the static kernel on sentinel-padded candidate tables."""
+
+    def _setup(self, rng, B=3, cap=640, M=90, S=16, C=6):
+        counts = np.asarray([cap, 300, 70], np.int32)[:B]
+        table = rng.randn(B, cap, C).astype(np.float32)
+        lane = np.arange(cap)[None, :, None]
+        # xyz channels -> 1e9 sentinels past the count (as _gather_candidates
+        # produces); feature channels left as garbage (never gathered)
+        table[..., :3] = np.where(lane < counts[:, None, None],
+                                  table[..., :3], 1e9)
+        # idx only ever points at valid rows (ball-query guarantee)
+        idx = (rng.randint(0, 1 << 30, (B, M, S))
+               % np.maximum(counts, 1)[:, None, None]).astype(np.int32)
+        ctr = rng.randn(B, M, 3).astype(np.float32)
+        return counts, table, idx, ctr
+
+    def test_matches_static_kernel(self, rng):
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_chain_pallas,
+            fused_chain_pallas_nv,
+        )
+
+        counts, table, idx, ctr = self._setup(rng)
+        ws = (rng.randn(6, 32).astype(np.float32) * 0.2,
+              rng.randn(32, 32).astype(np.float32) * 0.2)
+        bs = (rng.randn(32).astype(np.float32),
+              rng.randn(32).astype(np.float32))
+        relus = (True, False)
+        args = (jnp.asarray(table), jnp.asarray(idx), jnp.asarray(ctr),
+                ws, bs, relus, 16)
+        with pltpu.force_tpu_interpret_mode():
+            want = np.asarray(fused_chain_pallas(*args))
+            got = np.asarray(fused_chain_pallas_nv(
+                *args, jnp.asarray(counts)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_group_pe_max_nv_grads(self, rng):
+        """The nt_nv custom_vjp's backward == reference autodiff (the
+        forward skips chunks; the recompute backward must not care)."""
+        from garment4d_tpu.ops.pemax import _pe_reference, group_pe_max
+
+        counts, table, idx, ctr = self._setup(rng, B=2, cap=256, M=40, S=8)
+        k0 = jnp.asarray(rng.randn(6, 32).astype(np.float32) * 0.2)
+        b0 = jnp.asarray(rng.randn(32).astype(np.float32))
+        k1 = jnp.asarray(rng.randn(32, 32).astype(np.float32) * 0.2)
+        b1 = jnp.asarray(rng.randn(32).astype(np.float32))
+        t, i, c = jnp.asarray(table), jnp.asarray(idx), jnp.asarray(ctr)
+
+        def loss_nv(c_, k0_):
+            return jnp.sum(group_pe_max(t, i, c_, k0_, b0, k1, b1,
+                                        table_grad=False,
+                                        n_valid=jnp.asarray(counts)) ** 2)
+
+        def loss_ref(c_, k0_):
+            return jnp.sum(_pe_reference(t, i, c_, k0_, b0, k1, b1) ** 2)
+
+        gf = jax.grad(loss_nv, argnums=(0, 1))(c, k0)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(c, k0)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_query_group_pe_multi_compact_uses_nv_exactly(self, rng):
+        """End to end: the candidate-compacted pallas path (which now feeds
+        per-frame counts to the PE kernels) == the unfused reference path."""
+        from garment4d_tpu import ops
+
+        B, N, M = 2, 1280, 70
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 0.3
+        vn = rng.randn(B, N, 3).astype(np.float32)
+        ctr = np.concatenate(
+            [xyz[:, ::8][:, :60], np.full((B, 10, 3), 30.0, np.float32)],
+            axis=1)
+        radii, ss = (0.15, 0.3), (4, 8)
+        params = [tuple(jnp.asarray(a) for a in (
+            rng.randn(6, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32),
+            rng.randn(32, 32).astype(np.float32) * 0.2,
+            rng.randn(32).astype(np.float32))) for _ in ss]
+        want = ops.query_group_pe_multi(
+            radii, ss, jnp.asarray(xyz), jnp.asarray(ctr), jnp.asarray(vn),
+            params, use_pallas=False)
+        with pltpu.force_tpu_interpret_mode():
+            got = ops.query_group_pe_multi(
+                radii, ss, jnp.asarray(xyz), jnp.asarray(ctr),
+                jnp.asarray(vn), params, cap_frac=0.5, use_pallas=True)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestMortonSpatial:
     """ops/morton.py + the grouped kernel's [lo, bound) group window."""
 
