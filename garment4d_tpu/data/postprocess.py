@@ -47,11 +47,13 @@ def laplacian_smooth(verts: Array, norm_adj: Array, iters: int = 100,
 
 def detect_penetration(garment_v: Array, body_v: Array, body_vn: Array,
                        threshold: float = -1e-6):
-    """Nearest body point + inside test.
+    """Nearest body VERTEX + inside test — the fast on-device screen.
 
-    Returns (inside_mask (B, Vg), nearest body point, nearest normal).
-    Reference uses an AABB tree (`post_processing.py:166-175`); the 1-NN over
-    6890 body vertices is a single fused distance matrix on TPU.
+    Returns (inside_mask (B, Vg), nearest body vertex, its normal). The
+    offline parity path (`remove_interpenetration`) uses the exact nearest
+    SURFACE point instead (`nearest_surface_points`, reference
+    `post_processing.py:145-177`); this vertex form is the cheap device-side
+    approximation used for quick penetration statistics.
     """
     nn = ops.knn_points(garment_v, body_v, K=1)
     nearest = ops.group_points(body_v, nn.idx)[:, :, 0, :]
@@ -63,58 +65,127 @@ def detect_penetration(garment_v: Array, body_v: Array, body_vn: Array,
 def push_out_targets(garment_v: Array, inside: Array, nearest: Array,
                      normal: Array, eps: float = 0.008) -> Array:
     """Target positions: inside vertices projected to nearest + eps * normal
-    (reference `post_processing.py:176-184`)."""
+    (simplified on-device form of reference `post_processing.py:176-184`)."""
     pushed = nearest + eps * normal
     return jnp.where(inside[..., None], pushed, garment_v)
 
 
-def _uniform_laplacian_csr(adj: np.ndarray):
+def nearest_surface_points(points: np.ndarray, body_v: np.ndarray,
+                           body_faces: np.ndarray):
+    """Exact nearest point ON the body surface + region-interpolated normal.
+
+    Replaces the reference's AABB-tree query (`get_nearest_points_and_normals`,
+    `post_processing.py:145-177`) with the same semantics: the closest point
+    of each query to the triangle soup (exact point-to-triangle projection,
+    `tools/transfer.py`), and a normal chosen by which region of the winning
+    triangle the projection landed in — face normal for the interior, vertex
+    normal at a vertex, sum of the two endpoint vertex normals on an edge,
+    all normalised with the reference's +1e-10 guard.
+
+    points: (P, 3), body_v: (Vb, 3), body_faces: (F, 3)
+    -> (nearest (P, 3), normals (P, 3)).
+    """
+    from garment4d_tpu.tools.transfer import surface_correspondence
+
+    faces = np.asarray(body_faces, np.int64)
+    face_idx, bary, vidx = surface_correspondence(body_v, faces, points)
+    tri = np.asarray(body_v, np.float64)[vidx]         # (P, 3, 3)
+    nearest = np.einsum("pk,pkd->pd", bary.astype(np.float64), tri)
+
+    from garment4d_tpu.ops.meshmath import face_normals
+
+    body = jnp.asarray(np.asarray(body_v, np.float32)[None])
+    fn = np.asarray(face_normals(body, faces)[0], np.float64)
+    vn = np.asarray(ops.vertex_normals(body, faces)[0], np.float64)
+
+    # region classification from the clamped barycentrics: the projection
+    # writes EXACT zeros for clamped coordinates, so the number of zero
+    # entries identifies interior (0) / edge (1) / vertex (2)
+    zero = bary <= 0.0
+    nz = zero.sum(axis=1)
+    normals = fn[face_idx].copy()                      # interior default
+    vert_rows = np.where(nz == 2)[0]
+    if len(vert_rows):
+        which = np.argmin(zero[vert_rows], axis=1)     # the single nonzero
+        normals[vert_rows] = vn[vidx[vert_rows, which]]
+    edge_rows = np.where(nz == 1)[0]
+    if len(edge_rows):
+        nz_mask = ~zero[edge_rows]                     # two nonzero entries
+        ends = vidx[edge_rows][nz_mask].reshape(len(edge_rows), 2)
+        normals[edge_rows] = vn[ends[:, 0]] + vn[ends[:, 1]]
+    normals = normals / (np.linalg.norm(normals, axis=-1, keepdims=True)
+                         + 1e-10)
+    return nearest, normals
+
+
+def _lsq_laplacian_csr(adj: np.ndarray):
+    """L = I - rownorm(clip(adj, 0, 1)) — the reference's least-squares
+    regulariser (`post_processing.py:131-142`), NOT the unnormalised degree
+    Laplacian."""
     import scipy.sparse as sp
 
-    deg = adj.sum(axis=1)
-    L = sp.csr_matrix(np.diag(deg) - adj)
-    return L
+    a = np.clip(np.asarray(adj, np.float64), 0.0, 1.0)
+    rowsum = a.sum(axis=1)
+    rowsum[rowsum == 0] = 1.0
+    return sp.csr_matrix(np.eye(a.shape[0]) - a / rowsum[:, None])
 
 
 def remove_interpenetration(garment_v: np.ndarray, body_v: np.ndarray,
                             body_faces: np.ndarray, adj: np.ndarray,
-                            eps: float = 0.008, weight: float = 1.0,
+                            garment_faces: Optional[np.ndarray] = None,
+                            eps: float = 0.008, weight: float = 2.0,
                             max_iters: int = 5, return_rounds: bool = False):
     """Iterative push-out with Laplacian-regularised least squares.
 
+    Full parity with reference `remove_interpenetration_fast`
+    (`post_processing.py:179-228`) iterated by the caller's <=5-round loop
+    (`post_processing.py:314-317`): exact nearest-SURFACE-point + region
+    normal per garment vertex, inside test sign(<v - nearest, n>) <= -1e-6,
+    push-out direction (nearest - v) flipped by the sign of <garment vertex
+    normal, body normal> (when `garment_faces` is given; the reference
+    always has the mesh), target = nearest + eps * unit(dir) with the
+    0.0001 norm guard, full-size identity data term with weight `ww`=2 on
+    inside rows and 1 elsewhere, L = I - rownorm(adj), and the normal
+    equations solve (A^T A) x = A^T b with A = [L ; I].
+
     garment_v: (Vg, 3), body_v: (Vb, 3), body_faces: (F, 3), adj: (Vg, Vg)
-    binary garment adjacency. Solves (A^T A) x = A^T b with
-    A = [L ; w * I_rows(inside)], b = [L v ; w * targets] per round
-    (reference `remove_interpenetration_fast`, `post_processing.py:185-228`),
-    up to `max_iters` rounds or until nothing is inside. With
-    `return_rounds` also returns the number of solve rounds executed.
+    garment adjacency. With `return_rounds` also returns the number of
+    solve rounds executed.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     v = np.asarray(garment_v, np.float64)
-    body = jnp.asarray(body_v[None], jnp.float32)
-    body_vn = ops.vertex_normals(body, np.asarray(body_faces, np.int32))
-    L = _uniform_laplacian_csr(np.asarray(adj, np.float64))
+    L = _lsq_laplacian_csr(adj)
     Vg = v.shape[0]
 
     rounds = 0
     for _ in range(max_iters):
-        inside, nearest, normal = detect_penetration(
-            jnp.asarray(v[None], jnp.float32), body, body_vn)
-        inside_np = np.asarray(inside[0])
-        if not inside_np.any():
+        nearest, normals = nearest_surface_points(v, body_v, body_faces)
+        direction = np.sign(np.sum((v - nearest) * normals, axis=-1))
+        indices = np.where(direction <= -1e-6)[0]
+        if len(indices) < 1:
             break
-        targets = np.asarray(push_out_targets(
-            jnp.asarray(v[None], jnp.float32), inside,
-            nearest, normal, eps)[0], np.float64)
 
-        rows = np.where(inside_np)[0]
-        I = sp.csr_matrix(
-            (np.full(len(rows), weight), (np.arange(len(rows)), rows)),
-            shape=(len(rows), Vg))
+        if garment_faces is not None:
+            gvn = np.asarray(ops.vertex_normals(
+                jnp.asarray(v[None], jnp.float32),
+                np.asarray(garment_faces, np.int32))[0], np.float64)
+            nds = np.sign(np.sum(gvn * normals, axis=-1))[:, None]
+        else:
+            nds = np.ones((Vg, 1))
+        pent = (nearest[indices] - v[indices]) * nds[indices]
+        pent = nearest[indices] + eps * pent / np.expand_dims(
+            0.0001 + np.linalg.norm(pent, axis=1), 1)
+        tgt = v.copy()
+        tgt[indices] = weight * pent
+
+        data = np.ones(Vg)
+        data[indices] *= weight
+        rc = np.arange(Vg)
+        I = sp.csr_matrix((data, (rc, rc)), shape=(Vg, Vg))
         A = sp.vstack([L, I]).tocsr()
-        b = np.vstack([L @ v, weight * targets[rows]])
+        b = np.vstack([L @ v, tgt])
         AtA = (A.T @ A).tocsr()
         Atb = A.T @ b
         v = np.column_stack([
@@ -127,10 +198,12 @@ def remove_interpenetration(garment_v: np.ndarray, body_v: np.ndarray,
 
 def process_frame(garment_v: np.ndarray, body_v: np.ndarray,
                   body_faces: np.ndarray, adj: np.ndarray,
-                  norm_adj: np.ndarray, smooth_iters: int = 100) -> np.ndarray:
+                  norm_adj: np.ndarray, smooth_iters: int = 100,
+                  garment_faces: Optional[np.ndarray] = None) -> np.ndarray:
     """Full per-frame post-process: smooth then de-penetrate
     (reference `process_single_frame` path, `post_processing.py:300-317`)."""
     smoothed = np.asarray(laplacian_smooth(
         jnp.asarray(garment_v[None], jnp.float32), jnp.asarray(norm_adj),
         iters=smooth_iters))[0]
-    return remove_interpenetration(smoothed, body_v, body_faces, adj)
+    return remove_interpenetration(smoothed, body_v, body_faces, adj,
+                                   garment_faces=garment_faces)

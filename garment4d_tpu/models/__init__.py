@@ -7,6 +7,7 @@ from garment4d_tpu.models.canonical import (
     CanonicalOutput,
     select_garment_points,
 )
+from garment4d_tpu.models.mgn import MgnGarmentModel
 from garment4d_tpu.models.posed import BodyInputs, PosedGarmentModel, PosedOutput
 from garment4d_tpu.models.skinning import (
     LbsResult,
@@ -25,6 +26,7 @@ __all__ = [
     "CanonicalOutput",
     "select_garment_points",
     "BodyInputs",
+    "MgnGarmentModel",
     "PosedGarmentModel",
     "PosedOutput",
     "LbsResult",

@@ -121,6 +121,33 @@ class GarmentAssets:
             pca_scale=pca["ss_scale"].astype(np.float32),
         )
 
+    def permuted(self, perm: np.ndarray) -> "GarmentAssets":
+        """The same garment with vertices re-indexed: new vertex i is old
+        vertex perm[i]. Faces and the per-vertex blocks of the PCA basis /
+        mean / scale are remapped consistently, so the permuted assets
+        describe the IDENTICAL mesh - used by tests to model real templates
+        whose OBJ vertex order is not grid-coherent, and by
+        tools/reorder_template.py to fix them."""
+        perm = np.asarray(perm, np.int64)
+        V = self.num_verts
+        inv = np.argsort(perm)
+        comp = self.pca_components.reshape(-1, V, 3)[:, perm].reshape(
+            self.pca_components.shape[0], -1)
+        mean = self.pca_mean.reshape(V, 3)[perm].reshape(-1)
+        scale = self.pca_scale
+        if scale.ndim and scale.size == V * 3:
+            scale = scale.reshape(V, 3)[perm].reshape(-1)
+        faces = [[int(inv[i]) for i in f] for f in self.faces]
+        return GarmentAssets.build(
+            name=self.name,
+            template_v=self.template_v[perm],
+            faces=faces,
+            pca_components=comp,
+            pca_mean=mean,
+            pca_explained=self.pca_explained,
+            pca_scale=scale,
+        )
+
     @classmethod
     def synthetic(cls, name: str = "Skirt", num_rings: int = 12,
                   ring_size: int = 16, pca_dim: int = 64,

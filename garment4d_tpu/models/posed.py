@@ -195,6 +195,14 @@ class PosedGarmentModel(nn.Module):
     # when the per-iteration GCN offsets are small, i.e. with trained
     # weights; random-init offsets (~0.7) rebuild every iteration.
     candidate_reuse_margin: float = 0.0
+    # when the template's native vertex order is NOT cyclic-banded (real
+    # CLOTH3D OBJs whose order isn't grid-coherent), recover a banded order
+    # with a reverse Cuthill-McKee permutation and run the whole refinement
+    # loop in permuted vertex space (ops.graph.bandwidth_permutation): one
+    # gather of the LBS garment in, one inverse gather per iteration output,
+    # everything in between order-agnostic. Semantically free (up to banded
+    # -vs-dense f32 summation order); set False to force the dense matmul.
+    band_reorder: bool = True
 
     @property
     def _radii(self):
@@ -252,6 +260,18 @@ class PosedGarmentModel(nn.Module):
         # grid/ring-ordered templates have banded adjacency: the GCN's V x V
         # matmul collapses to a few shifted multiply-adds (ops/graph.py)
         diag_offsets = ops.graph.cyclic_diagonals(self.assets.gcn_adj)
+        band_perm = None
+        if diag_offsets is None and self.band_reorder:
+            # non-banded native order: recover one with RCM and run the
+            # refinement loop in permuted vertex space (see field docstring)
+            perm_np, offs = ops.graph.bandwidth_permutation(
+                self.assets.gcn_adj)
+            if offs is not None:
+                band_perm = jnp.asarray(perm_np.astype(np.int32))
+                band_inv = jnp.asarray(
+                    np.argsort(perm_np).astype(np.int32))
+                diag_offsets = offs
+                adj = adj[band_perm][:, band_perm]
         garment_xyz = canonical.garment_xyz        # stage-1 levels (BT, ., 3)
         garment_feats = canonical.garment_features
         if self.spatial_sample:
@@ -297,6 +317,12 @@ class PosedGarmentModel(nn.Module):
         ]
 
         cur_garment_v = lbs.posed_garment.reshape(BT, Vg, 3)
+        if band_perm is not None:
+            # whole refinement loop in permuted vertex space: queries/PEs are
+            # per-center independent, the attention mixes over T per-vertex,
+            # and the GCN uses the permuted adjacency - only the iteration
+            # outputs need inverse-gathering back to template order
+            cur_garment_v = jnp.take(cur_garment_v, band_perm, axis=1)
         if self.spatial_sample:
             # The other half of the window mechanism: Morton-sort the QUERY
             # CENTERS too. With Z-ordered tables but template-ordered centers
@@ -395,7 +421,10 @@ class PosedGarmentModel(nn.Module):
                 (True, True, True, False), 2)
             hidden_feats.append(hidden)
             cur_garment_v = cur_garment_v + h
-            iter_results.append(cur_garment_v.reshape(B, T, Vg, 3))
+            out_v = cur_garment_v
+            if band_perm is not None:
+                out_v = jnp.take(out_v, band_inv, axis=1)
+            iter_results.append(out_v.reshape(B, T, Vg, 3))
 
         return PosedOutput(canonical=canonical, lbs=lbs,
                            iter_garment_v=tuple(iter_results))

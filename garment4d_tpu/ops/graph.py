@@ -120,6 +120,42 @@ def cyclic_diagonals(mat: np.ndarray, max_diags: int = 32):
     return tuple(int(o) for o in offs)
 
 
+def bandwidth_permutation(adj: np.ndarray, max_diags: int = 64):
+    """Vertex permutation that makes `adj` cyclic-banded, or None.
+
+    Real CLOTH3D template OBJs are only banded if their vertex order happens
+    to be grid-coherent; an arbitrary (remeshed / shuffled) order makes the
+    GCN fall back to the dense V x V matmul. A vertex permutation is
+    semantically FREE for the refinement stack (each center's query/PE
+    output is independent, and P A P^T applied to P h is the permuted
+    output), so recover a banded order when one exists: try the identity and
+    a reverse Cuthill-McKee ordering (bandwidth-minimising BFS,
+    scipy.sparse.csgraph), keep whichever yields the fewest nonzero cyclic
+    diagonals, and return None only if both exceed `max_diags` (at which
+    point the dense MXU matmul genuinely is the right path).
+
+    Returns (perm (V,) int32, offsets tuple) or (None, None). perm is a
+    no-op identity candidate too: callers should treat a returned identity
+    like any other permutation (offsets are what matter).
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    v = adj.shape[0]
+    candidates = [np.arange(v, dtype=np.int32)]
+    rcm = reverse_cuthill_mckee(
+        csr_matrix((adj != 0).astype(np.int8)), symmetric_mode=True)
+    candidates.append(np.asarray(rcm, np.int32))
+
+    best = (None, None, v + 1)
+    for perm in candidates:
+        sub = adj[perm][:, perm]
+        offs = cyclic_diagonals(sub, max_diags=max_diags)
+        if offs is not None and len(offs) < best[2]:
+            best = (perm, offs, len(offs))
+    return best[0], best[1]
+
+
 def graph_matmul_banded(adj: jax.Array, x: jax.Array, offsets) -> jax.Array:
     """Banded equivalent of `graph_matmul` for a matrix whose nonzero cyclic
     diagonals are `offsets` (from `cyclic_diagonals`; same result up to f32

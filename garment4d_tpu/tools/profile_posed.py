@@ -98,13 +98,15 @@ def main():
 
     import os
 
+    weights = args.weights or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "ckpt_synth", "posed_synth.npz")
+    if args.weights not in (None, "random") and not os.path.exists(weights):
+        raise FileNotFoundError(f"--weights {weights!r} does not exist")
+    load_weights = args.weights != "random" and os.path.exists(weights)
+
     if args.which in ("posed", "train"):
-        weights = args.weights or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), "ckpt_synth", "posed_synth.npz")
-        if args.weights not in (None, "random") and not os.path.exists(weights):
-            raise FileNotFoundError(f"--weights {weights!r} does not exist")
-        if args.weights != "random" and os.path.exists(weights):
+        if load_weights:
             from garment4d_tpu.train.checkpoint import load_variables_npz
 
             variables = load_variables_npz(weights, variables)
@@ -129,6 +131,31 @@ def main():
         canon = CanonicalGarmentModel(assets=assets)
         cv = jax.jit(canon.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), batch["pcd"], train=False)
+        if load_weights:
+            # the posed checkpoint carries the (frozen) canonical encoder as
+            # the `canonical/` submodule; the standalone model's tree is the
+            # same with that prefix stripped
+            from flax import traverse_util
+
+            with np.load(weights) as data:
+                flat = {k: data[k] for k in data.files
+                        if k.split("/", 2)[1] == "canonical"}
+            if not flat:
+                raise ValueError(
+                    f"--weights {weights!r} has no canonical/ subtree")
+            tree = traverse_util.unflatten_dict(
+                {f"{k.split('/', 2)[0]}/{k.split('/', 2)[2]}": v
+                 for k, v in flat.items()}, sep="/")
+            cv = dict(cv)
+            for coll in ("params", "batch_stats"):
+                if coll in tree and coll in cv:
+                    cv[coll] = jax.tree_util.tree_map(
+                        lambda old, new: np.asarray(
+                            new, np.asarray(old).dtype),
+                        cv[coll], tree[coll])
+            print(f"weights: {os.path.basename(weights)} (canonical/ subtree)")
+        else:
+            print("weights: random-init")
 
         @jax.jit
         def _canon(pcd):

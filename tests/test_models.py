@@ -315,3 +315,65 @@ class TestCandidateReuseMode:
         np.testing.assert_array_equal(
             np.asarray(out_b.iter_garment_v[-1]),
             np.asarray(out_r.iter_garment_v[-1]))
+
+
+class TestBandReorder:
+    """Non-banded template vertex orders: the dense-GCN fallback and the RCM
+    band-recovery path (VERDICT r04 #4; reference topology source
+    `modules/mesh_encoder.py:288-307`)."""
+
+    @pytest.fixture(scope="class")
+    def shuffled(self, assets):
+        rng = np.random.RandomState(11)
+        perm = rng.permutation(assets.num_verts)
+        shuffled = assets.permuted(perm)
+        # the shuffle must actually break bandedness, else this tests nothing
+        from garment4d_tpu.ops import graph
+        assert graph.cyclic_diagonals(shuffled.gcn_adj) is None
+        return shuffled, perm
+
+    def test_permuted_assets_same_mesh(self, assets, shuffled):
+        sh, perm = shuffled
+        np.testing.assert_array_equal(sh.template_v, assets.template_v[perm])
+        # adjacency is the same graph under relabeling
+        np.testing.assert_allclose(
+            sh.gcn_adj, assets.gcn_adj[perm][:, perm], atol=1e-6)
+        # PCA reconstruction of the mean garment is the permuted mean garment
+        mean_orig = assets.pca_mean.reshape(-1, 3)
+        np.testing.assert_allclose(
+            sh.pca_mean.reshape(-1, 3), mean_orig[perm], atol=0)
+
+    def test_bandwidth_permutation_recovers_band(self, shuffled):
+        from garment4d_tpu.ops import graph
+        sh, _ = shuffled
+        perm, offs = graph.bandwidth_permutation(sh.gcn_adj)
+        assert offs is not None, "RCM failed to recover a banded order"
+        sub = sh.gcn_adj[perm][:, perm]
+        assert graph.cyclic_diagonals(sub, max_diags=64) == offs
+
+    def test_posed_band_reorder_matches_dense(self, shuffled, body_model):
+        sh, _ = shuffled
+        batch = make_batch(sh, body_model, batch_size=1, T=2, npoints=512,
+                           seed=13)
+        body = BodyInputs(
+            pose=batch["pose"],
+            smpl_vertices=batch["smpl_vertices"],
+            tpose_vertices=batch["tpose_smpl_vertices"],
+            tpose_root_joints=batch["tpose_smpl_root_joints"],
+            zeropose_vertices=batch["zeropose_smpl_vertices"],
+            J_regressor=batch["J_regressor"],
+            lbs_weights=batch["lbs_weights"],
+        )
+        dense = PosedGarmentModel(assets=sh, body_faces=body_model.faces,
+                                  lbs_k=4, iterations=2, band_reorder=False)
+        reord = PosedGarmentModel(assets=sh, body_faces=body_model.faces,
+                                  lbs_k=4, iterations=2, band_reorder=True)
+        variables = dense.init(jax.random.PRNGKey(0), batch["pcd"], body,
+                               train=False)
+        out_d = dense.apply(variables, batch["pcd"], body, train=False)
+        out_r = reord.apply(variables, batch["pcd"], body, train=False)
+        for i, (a, b) in enumerate(zip(out_d.iter_garment_v,
+                                       out_r.iter_garment_v)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"band-reordered != dense at iteration {i}")

@@ -127,21 +127,103 @@ class TestMultiRoundConvergence:
         )
         from garment4d_tpu.ops import build_mesh_adjacency
 
+        from garment4d_tpu.data.postprocess import nearest_surface_points
+
         body_model = smpl.synthetic_smpl(num_verts=300)
         body_v = np.asarray(body_model.v_template)
-        # start every garment vertex well inside the blob; a tiny eps and a
-        # weak data term force several rounds
+        # start every garment vertex well inside the blob: the Laplacian +
+        # outside-anchor terms drag pushed vertices back, forcing several
+        # solve rounds
         garment = assets.template_v * 0.02
         adj = build_mesh_adjacency(assets.faces, assets.num_verts)
         out, rounds = remove_interpenetration(
-            garment, body_v, body_model.faces, adj, eps=0.002, weight=0.25,
-            max_iters=5, return_rounds=True)
+            garment, body_v, body_model.faces, adj,
+            garment_faces=assets.faces_tri, max_iters=5, return_rounds=True)
         assert rounds >= 2, f"expected a multi-round case, got {rounds}"
-        body = jnp.asarray(body_v[None])
-        body_vn = ops.vertex_normals(body, body_model.faces)
-        before, _, _ = detect_penetration(
-            jnp.asarray(garment[None], jnp.float32), body, body_vn)
-        after, _, _ = detect_penetration(
-            jnp.asarray(out[None], jnp.float32), body, body_vn)
-        assert np.asarray(after).sum() < np.asarray(before).sum()
+
+        def inside_count(v):
+            # the removal loop's own criterion: nearest SURFACE point +
+            # region normal (reference `post_processing.py:198-203`)
+            near, nrm = nearest_surface_points(
+                np.asarray(v, np.float64), body_v, body_model.faces)
+            return int((np.sign(
+                np.sum((v - near) * nrm, -1)) <= -1e-6).sum())
+
+        assert inside_count(out) < inside_count(garment.astype(np.float64))
         assert np.isfinite(out).all()
+
+
+class TestNearestSurfacePoint:
+    """VERDICT r04 #5: exact point-to-triangle projection in interpenetration
+    removal (reference `post_processing.py:145-177`)."""
+
+    def test_disagrees_with_nearest_vertex(self):
+        """A point above a large triangle's interior: the nearest SURFACE
+        point is the interior projection, far from every vertex - the case
+        the old 1-NN-vertex stand-in got wrong."""
+        from garment4d_tpu.data.postprocess import nearest_surface_points
+
+        body_v = np.array([[0, 0, 0], [4, 0, 0], [0, 4, 0]], np.float64)
+        faces = np.array([[0, 1, 2]], np.int32)
+        p = np.array([[1.0, 1.0, 0.5]])
+        nearest, normals = nearest_surface_points(p, body_v, faces)
+        np.testing.assert_allclose(nearest[0], [1.0, 1.0, 0.0], atol=1e-9)
+        np.testing.assert_allclose(np.abs(normals[0]), [0, 0, 1], atol=1e-9)
+        # every vertex is strictly farther than the surface point
+        vert_d = np.linalg.norm(body_v - p[0], axis=1).min()
+        surf_d = np.linalg.norm(nearest[0] - p[0])
+        assert surf_d < vert_d - 0.5
+
+    def test_region_normals(self):
+        """Vertex region -> vertex normal; edge region -> sum of the two
+        endpoint vertex normals (reference `post_processing.py:158-176`)."""
+        from garment4d_tpu.data.postprocess import nearest_surface_points
+        from garment4d_tpu import ops
+
+        # a bent two-triangle strip so vertex/edge normals differ from the
+        # face normals
+        body_v = np.array([[0, 0, 0], [2, 0, 0], [1, 2, 0], [3, 2, 1.0]],
+                          np.float64)
+        faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        vn = np.asarray(ops.vertex_normals(
+            jnp.asarray(body_v[None], jnp.float32), faces)[0], np.float64)
+
+        # beyond vertex 0 -> vertex region of v0
+        p_vert = np.array([[-1.0, -1.0, 0.3]])
+        _, n_vert = nearest_surface_points(p_vert, body_v, faces)
+        want = vn[0] / (np.linalg.norm(vn[0]) + 1e-10)
+        np.testing.assert_allclose(n_vert[0], want, atol=1e-6)
+
+        # off the shared edge (1,2), outside both triangles' interiors is
+        # impossible for an interior edge - use boundary edge (0,1) instead
+        p_edge = np.array([[1.0, -1.0, 0.2]])
+        _, n_edge = nearest_surface_points(p_edge, body_v, faces)
+        want = vn[0] + vn[1]
+        want = want / (np.linalg.norm(want) + 1e-10)
+        np.testing.assert_allclose(n_edge[0], want, atol=1e-6)
+
+    def test_matches_bruteforce_oracle(self, rng):
+        """Projection distance == dense-barycentric-sampling oracle."""
+        from garment4d_tpu.data.postprocess import nearest_surface_points
+        from garment4d_tpu import smpl
+
+        body_model = smpl.synthetic_smpl(num_verts=60)
+        body_v = np.asarray(body_model.v_template, np.float64)
+        faces = np.asarray(body_model.faces, np.int64)
+        pts = rng.randn(12, 3) * 0.4
+        nearest, _ = nearest_surface_points(pts, body_v, faces)
+        got_d = np.linalg.norm(pts - nearest, axis=1)
+
+        # oracle: fine barycentric grid over every triangle
+        grid = []
+        n = 60
+        for i in range(n + 1):
+            for j in range(n + 1 - i):
+                grid.append([i / n, j / n, (n - i - j) / n])
+        grid = np.asarray(grid)  # (G, 3)
+        tri = body_v[faces]  # (F, 3, 3)
+        samples = np.einsum("gk,fkd->fgd", grid, tri).reshape(-1, 3)
+        for p, d in zip(pts, got_d):
+            oracle = np.linalg.norm(samples - p, axis=1).min()
+            assert d <= oracle + 1e-9
+            assert d >= oracle - 0.05  # grid resolution slack

@@ -104,3 +104,166 @@ class TestReferenceParity:
             np.asarray(got.tpose_garment),
             want["tpose_garment"].numpy(), rtol=1e-3, atol=1e-4,
             err_msg="tpose_garment")
+
+
+# ---------------------------------------------------------------------------
+# posed stage (the flagship): reference `mesh_encoder.py:172-487` mirror vs
+# PosedGarmentModel through the production importer. VERDICT r04 missing #1.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def posed_parity():
+    from garment4d_tpu import smpl
+    from garment4d_tpu.data.synthetic import make_batch
+    from garment4d_tpu.models import PosedGarmentModel
+    from garment4d_tpu.train.step import body_inputs_from_batch
+
+    from torch_ref_mirror import PCALBSGarmentUseSegEncoderSeg
+
+    assets = GarmentAssets.synthetic(name="Skirt", num_rings=8, ring_size=12,
+                                     pca_dim=16)
+    body_model = smpl.synthetic_smpl(num_verts=512)
+    # K=72 so the forward (K) and inverse (K64=64) interpolations genuinely
+    # differ, exercising both knn paths of the kernel
+    K = 72
+    ref = PCALBSGarmentUseSegEncoderSeg(
+        "Skirt", assets.pca_components, assets.pca_mean, assets.pca_scale,
+        garment_faces=assets.faces, body_faces_tri=body_model.faces,
+        parents=body_model.parents, lbs_k=K)
+    _randomize(ref)
+    ref.eval()
+
+    batch = make_batch(assets, body_model, batch_size=2, T=2, npoints=2048,
+                       seed=5)
+    body = body_inputs_from_batch(batch)
+    model = PosedGarmentModel(assets=assets, body_faces=body_model.faces,
+                              lbs_k=K, iterations=3)
+    variables = model.init(jax.random.PRNGKey(0), batch["pcd"], body,
+                           train=False)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables, report = import_torch_checkpoint(sd, variables, strict=True)
+    return ref, model, variables, batch, body, report
+
+
+class TestPosedReferenceParity:
+    def test_all_keys_imported(self, posed_parity):
+        ref, _, _, _, _, report = posed_parity
+        n_mappable = sum(1 for k in ref.state_dict()
+                         if not k.endswith("num_batches_tracked"))
+        assert len(report["loaded"]) == n_mappable
+        assert not report["skipped"]
+
+    def test_posed_outputs_match(self, posed_parity):
+        ref, model, variables, batch, body, _ = posed_parity
+        tb = {
+            "smpl_vertices": torch.from_numpy(
+                np.asarray(batch["smpl_vertices"])),
+            "tpose_smpl_vertices": torch.from_numpy(
+                np.asarray(batch["tpose_smpl_vertices"])),
+            "tpose_smpl_root_joints": torch.from_numpy(
+                np.asarray(batch["tpose_smpl_root_joints"])),
+            "zeropose_smpl_vertices": torch.from_numpy(
+                np.asarray(batch["zeropose_smpl_vertices"])),
+            "pose": torch.from_numpy(np.asarray(batch["pose"])),
+            "J_regressor": torch.from_numpy(np.asarray(batch["J_regressor"])),
+            "lbs_weights": torch.from_numpy(np.asarray(batch["lbs_weights"])),
+        }
+        with torch.no_grad():
+            want = ref(torch.from_numpy(np.asarray(batch["pcd"])), tb)
+        got = model.apply(variables, batch["pcd"], body, train=False)
+
+        np.testing.assert_allclose(
+            np.asarray(got.canonical.tpose_garment),
+            want["tpose_garment"].numpy(), rtol=1e-3, atol=1e-4,
+            err_msg="canonical tpose_garment")
+        np.testing.assert_allclose(
+            np.asarray(got.lbs.posed_garment),
+            want["lbs_pred_garment_v"].numpy(), rtol=1e-3, atol=2e-4,
+            err_msg="LBS-interpolated garment")
+        np.testing.assert_allclose(
+            np.asarray(got.lbs.unposed_garment),
+            want["lbs_stage1_pred_garment_v"].numpy(), rtol=1e-3, atol=2e-4,
+            err_msg="stage-1 unposed garment")
+        for i, (g, w) in enumerate(zip(
+                got.iter_garment_v, want["iter_regressed_lbs_garment_v"])):
+            np.testing.assert_allclose(
+                np.asarray(g), w.numpy(), rtol=2e-3, atol=1e-3,
+                err_msg=f"refinement iteration {i}")
+
+
+    def test_sensitive_to_gcn_orientation(self, posed_parity):
+        """Negative control: the 128x128 middle GCN weights are square, so a
+        wrong orientation convention in the importer would pass every SHAPE
+        check - the functional comparison above is the only thing that can
+        catch it. Prove it actually would: transposing one square weight must
+        move the refined vertices by far more than the parity tolerance."""
+        ref, model, variables, batch, body, _ = posed_parity
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        sd["lbs_graph_regress1.1.weight"] = np.ascontiguousarray(
+            sd["lbs_graph_regress1.1.weight"].T)
+        bad_vars, _ = import_torch_checkpoint(sd, variables, strict=True)
+        good = model.apply(variables, batch["pcd"], body, train=False)
+        bad = model.apply(bad_vars, batch["pcd"], body, train=False)
+        delta = np.max(np.abs(np.asarray(good.iter_garment_v[0])
+                              - np.asarray(bad.iter_garment_v[0])))
+        assert delta > 1e-2, f"orientation flip invisible (delta={delta})"
+
+
+@pytest.fixture(scope="module")
+def mgn_parity():
+    from garment4d_tpu import smpl
+    from garment4d_tpu.data.synthetic import make_batch
+    from garment4d_tpu.models import MgnGarmentModel
+    from garment4d_tpu.train.step import body_inputs_from_batch
+
+    from torch_ref_mirror import PCALBSGarmentUseSegEncoderSegMGN
+
+    assets = GarmentAssets.synthetic(name="Skirt", num_rings=8, ring_size=12,
+                                     pca_dim=16)
+    body_model = smpl.synthetic_smpl(num_verts=512)
+    ref = PCALBSGarmentUseSegEncoderSegMGN(
+        "Skirt", assets.pca_components, assets.pca_mean, assets.pca_scale,
+        garment_faces=assets.faces, parents=body_model.parents)
+    _randomize(ref)
+    ref.eval()
+
+    batch = make_batch(assets, body_model, batch_size=2, T=2, npoints=2048,
+                       seed=7)
+    body = body_inputs_from_batch(batch)
+    model = MgnGarmentModel(assets=assets)
+    variables = model.init(jax.random.PRNGKey(0), batch["pcd"], body,
+                           train=False)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables, report = import_torch_checkpoint(sd, variables, strict=True)
+    return ref, model, variables, batch, body, report
+
+
+class TestMgnReferenceParity:
+    def test_all_keys_imported(self, mgn_parity):
+        ref, _, _, _, _, report = mgn_parity
+        n_mappable = sum(1 for k in ref.state_dict()
+                         if not k.endswith("num_batches_tracked"))
+        assert len(report["loaded"]) == n_mappable
+        assert not report["skipped"]
+
+    def test_mgn_outputs_match(self, mgn_parity):
+        ref, model, variables, batch, body, _ = mgn_parity
+        tb = {
+            "tpose_smpl_vertices": torch.from_numpy(
+                np.asarray(batch["tpose_smpl_vertices"])),
+            "tpose_smpl_root_joints": torch.from_numpy(
+                np.asarray(batch["tpose_smpl_root_joints"])),
+            "zeropose_smpl_vertices": torch.from_numpy(
+                np.asarray(batch["zeropose_smpl_vertices"])),
+            "pose": torch.from_numpy(np.asarray(batch["pose"])),
+            "J_regressor": torch.from_numpy(np.asarray(batch["J_regressor"])),
+            "lbs_weights": torch.from_numpy(np.asarray(batch["lbs_weights"])),
+        }
+        with torch.no_grad():
+            want = ref(torch.from_numpy(np.asarray(batch["pcd"])), tb)
+        got = model.apply(variables, batch["pcd"], body, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got.lbs.posed_garment),
+            want["lbs_pred_garment_v"].numpy(), rtol=1e-3, atol=2e-4,
+            err_msg="MGN posed garment")
