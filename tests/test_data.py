@@ -108,3 +108,39 @@ class TestCloth3dPipeline:
             frames = [int(x.split("/")[1]) for x in w]
             assert frames == sorted(frames)
             assert len(set(frames)) == len(frames)  # strictly increasing
+
+
+class TestLoaderCaches:
+    """The memoised index draws and per-sequence reads must be value-exact
+    vs the uncached forms (they exist only because the reference's
+    seed(0)-per-call makes the draws pure functions of the sizes)."""
+
+    def test_cached_choices_exact(self):
+        from garment4d_tpu.data.cloth3d import (
+            _body_shuffle_choice,
+            _cached_body_shuffle,
+            _cached_sample_choice,
+            sample_choice,
+        )
+
+        np.testing.assert_array_equal(
+            _cached_sample_choice(7000, 6890), sample_choice(7000, 6890))
+        np.testing.assert_array_equal(
+            _cached_sample_choice(512, 256), sample_choice(512, 256))
+        np.testing.assert_array_equal(
+            _cached_body_shuffle(6890, 7000, 6890),
+            _body_shuffle_choice(6890, 7000, 6890))
+
+    def test_raw_item_deterministic_across_cache_states(self, fixture_dir):
+        root, assets, lists = fixture_dir
+        paths = Cloth3dPaths(
+            root=root, garment_folder="Skirt_reg",
+            template_prefix=f"{root}/CLOTH3D_template")
+        ds = Cloth3dDataset(paths, lists["eval"], "Skirt", T=3, npoints=512,
+                            is_train=False, body_verts=300)
+        cold = ds.raw_item(0)   # fills the per-sequence cache
+        warm = ds.raw_item(0)   # served from it
+        assert cold.keys() == warm.keys()
+        for k in cold:
+            np.testing.assert_array_equal(np.asarray(cold[k]),
+                                          np.asarray(warm[k]), err_msg=k)

@@ -1,5 +1,7 @@
 """Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,3 +135,45 @@ class TestMesh:
         with mesh:
             sharded = jax.device_put(x, batch_sharding(mesh))
         assert len(sharded.sharding.device_set) == 8
+
+
+class TestMultiProcess:
+    def test_two_process_four_device_launch(self):
+        """VERDICT r04 #8: the actual multi-controller path - 2 localhost
+        processes x 4 virtual devices join through
+        `parallel.launch.initialize_distributed`, shard a global batch via
+        `make_array_from_process_local_data` (unreachable single-process),
+        and compute the single-replica answer (tests/dist_worker.py)."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        procs = [
+            subprocess.Popen([sys.executable, worker, str(port), str(i)],
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True, env=env)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            assert f"DIST_OK pid={i}" in out, out
+        # both controllers must report the identical loss and updated params
+        tok0 = [l for l in outs[0].splitlines() if "DIST_OK" in l][0].split()
+        tok1 = [l for l in outs[1].splitlines() if "DIST_OK" in l][0].split()
+        assert tok0[2:] == tok1[2:], (tok0, tok1)
