@@ -77,28 +77,39 @@ def _remaining() -> float:
 # ---------------------------------------------------------------------------
 
 
-def _time_fn(run, sync, iters=10):
+def _time_fn(run, sync, iters=10, repeats=1):
     """Steady-state seconds per call: dispatch `iters` async jit calls
     back-to-back and force completion once at the end. Syncing every
     iteration would serialize a host<->device round trip (~30-40 ms through
     the axon relay) into each measurement; the device-side program time is
     what throughput is made of (verified against the profiler's XLA Modules
     envelope). The full dispatch+sync block retries once on a transient
-    relay failure (re-dispatching re-creates any poisoned buffers)."""
+    relay failure (re-dispatching re-creates any poisoned buffers).
+
+    `repeats > 1` measures that many independent `iters`-call blocks after
+    one shared warm-up and returns the MEDIAN seconds/call plus the sorted
+    per-block list, so a single relay hiccup or background-load blip cannot
+    move the recorded number (round-4 lesson: two single-sample runs of the
+    same HEAD landed 8% apart and were unexplainable after the fact)."""
     from garment4d_tpu.utils.relay import call_with_retry
 
     def measure():
         sync(run())  # warm-up / compile
         sync(run())
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = run()
-        sync(out)
-        return (time.perf_counter() - t0) / iters
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = run()
+            sync(out)
+            runs.append((time.perf_counter() - t0) / iters)
+        runs.sort()
+        return runs[len(runs) // 2], runs
 
-    return call_with_retry(measure, attempts=2, delay_s=10.0,
-                           label="timed measurement")
+    med, runs = call_with_retry(measure, attempts=2, delay_s=10.0,
+                                label="timed measurement")
+    return med if repeats == 1 else (med, runs)
 
 
 class _phase_heartbeat:
@@ -283,8 +294,12 @@ def worker(headline_only: bool) -> int:
     _maybe_inject_fault("pre_headline")
     _progress("compiling + timing posed forward (headline)")
     with _phase_heartbeat("posed fwd compile+time", cap_s=1500):
-        dt = _time_fn(lambda: posed_fwd(batch["pcd"], body), sync)
+        dt, dt_runs = _time_fn(lambda: posed_fwd(batch["pcd"], body), sync,
+                               repeats=5)
     posed_fps = B * T / dt
+    extra["headline_runs_fps"] = [round(B * T / r, 1) for r in dt_runs]
+    extra["headline_spread_fps"] = round(
+        B * T / dt_runs[0] - B * T / dt_runs[-1], 1)
     record = {
         "metric": "posed_stage_frames_per_sec_per_chip",
         "value": round(posed_fps, 2),

@@ -203,6 +203,14 @@ class PosedGarmentModel(nn.Module):
     # everything in between order-agnostic. Semantically free (up to banded
     # -vs-dense f32 summation order); set False to force the dense matmul.
     band_reorder: bool = True
+    # MXU expansion-form distances in the grouped body-query kernel with an
+    # exact-fallback ambiguity band (bitwise-identical outputs; see
+    # ops/pallas/ball_query._bq_grouped_kernel). None = the G4D_BQ_MXU env
+    # default (off). MEASURED round 5 on-chip at trained weights
+    # (tools/bench_variants.py): 258.7 f/s vs 277.1 exact - a loss; kept
+    # opt-in as the documented negative result of the VERDICT r04 #1 lever
+    # (PLAN.md round-5 ledger has the breakdown).
+    bq_mxu_dist: bool = None
 
     @property
     def _radii(self):
@@ -363,7 +371,7 @@ class PosedGarmentModel(nn.Module):
                     body_v, cur_v, body_vn, pe_params,
                     spatial=self.spatial_sample,
                     candidates=state, reuse_margin=reuse_margin,
-                    table_grad=False)
+                    table_grad=False, mxu_dist=self.bq_mxu_dist)
 
             if self.remat:
                 body_block = jax.checkpoint(body_block)

@@ -150,10 +150,25 @@ def _bq_kernel(xyz_ref, centers_ref, *out_refs, radii2, nsamples, s_pads,
 
 _GROUP_W = 512
 
+# |d2_expansion - d2_diff| <= _MXU_EPS_SCALE * max_valid(|c|^2 + |p|^2):
+# the rigorous f32 bound behind the expansion-form ambiguity band (see
+# _bq_grouped_kernel mxu_dist). Derivation: the 3-term bf16 split of each
+# f32 operand is exact to <= 2^-22 relative residue; dropping the 3 smallest
+# cross products (mid*lo, lo*mid, lo*lo) loses <= ~2^-23.5 |c||p| per
+# component; f32 accumulation of the 6 dot passes and the |c|^2/|p|^2 sums
+# adds <= ~12u (u = 2^-24); the diff form's own error is <= ~3u * terms.
+# Everything summed is < 2^-20 * A with A = max(|c|^2 + |p|^2); 2^-19 gives
+# a 2x safety margin. Membership of a pair can differ between the two forms
+# ONLY if |d2e - r^2| <= eps, so a group with no such pair is bitwise-exact
+# without rescan.
+_MXU_EPS_SCALE = 2.0 ** -19
+_SENTINEL_N2 = 1e17  # |p|^2 above this = 1e9-sentinel padding, not geometry
+
 
 def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
                        nsamples, s_pads, n_valid: int, m_valid: int,
-                       tile_m: int, n_groups: int, w: int = _GROUP_W):
+                       tile_m: int, n_groups: int, w: int = _GROUP_W,
+                       mxu_dist: bool = False):
     """Group-bounded scan: slot extraction only runs over the prefix of
     512-lane groups that can contain a tile's first-`nsample` hits.
 
@@ -196,6 +211,25 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
     # ---- phase 1: distances, per-group hit totals, running prefix -------
     run_ref[...] = jnp.zeros((tile_m, 128), jnp.int32)
 
+    if mxu_dist:
+        # expansion form d2 = |c|^2 + |p|^2 - 2<c,p> with the cross terms on
+        # the MXU (exact 3-term bf16 operand splits, 6 accumulating passes)
+        # and a per-group ambiguity band |d2e - r^2| <= eps that falls back
+        # to the exact VPU diff form - bitwise-identical outputs by the
+        # _MXU_EPS_SCALE bound above (verified on chip incl. engineered
+        # boundary points). MEASURED round 5 at trained weights: posed fwd
+        # 258.7 f/s vs 277.1 exact - the K=8 contraction runs the MXU at
+        # ~6% utilization and the band plumbing + per-group fallback
+        # rescans cost more than the VPU diff form saves; kept opt-in as
+        # the documented negative result of VERDICT r04 #1 (PLAN.md).
+        ct = jnp.pad(centers_ref[0], ((0, 0), (0, 5)))  # (Tm, 8)
+        c_hi = ct.astype(jnp.bfloat16)
+        c_r1 = ct - c_hi.astype(jnp.float32)
+        c_mid = c_r1.astype(jnp.bfloat16)
+        c_lo = (c_r1 - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        cn = jnp.sum(ct * ct, axis=1, keepdims=True)  # (Tm, 1)
+        lane1 = lax.broadcasted_iota(jnp.int32, (1, W), dimension=1)
+
     def phase1(g, _):
         running = run_ref[...]  # (Tm, 128) int32, col r = radius r count
         before_ref[g] = running
@@ -203,10 +237,46 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
         @pl.when(g * W < nv)
         def _live():
             chunk = xyz_ref[0, g]  # (8, W)
-            d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
-                  + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
-            d2_ref[g] = d2
             valid = (g * W + lane) < n_valid
+            if mxu_dist:
+                p_hi = chunk.astype(jnp.bfloat16)
+                p_r1 = chunk - p_hi.astype(jnp.float32)
+                p_mid = p_r1.astype(jnp.bfloat16)
+                p_lo = (p_r1 - p_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def mm(a, b):
+                    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+                cross = (mm(c_hi, p_hi) + mm(c_hi, p_mid) + mm(c_mid, p_hi)
+                         + mm(c_hi, p_lo) + mm(c_lo, p_hi)
+                         + mm(c_mid, p_mid))  # (Tm, W)
+                pn = jnp.sum(chunk * chunk, axis=0, keepdims=True)  # (1, W)
+                d2e = (cn + pn) - 2.0 * cross
+                d2_ref[g] = d2e
+                # rigorous band: A excludes 1e9-sentinel lanes (their pn
+                # would blow eps up by ~1e17 and make everything ambiguous;
+                # their own membership can never flip - d2e ~ 1e18 >> eps)
+                lane_ok = jnp.logical_and((g * W + lane1) < n_valid,
+                                          pn < _SENTINEL_N2)
+                A = jnp.max(cn) + jnp.max(jnp.where(lane_ok, pn, 0.0))
+                eps = jnp.float32(_MXU_EPS_SCALE) * A
+                band = jnp.zeros((tile_m, W), jnp.bool_)
+                for r2 in radii2:
+                    band = jnp.logical_or(
+                        band, jnp.abs(d2e - r2) <= eps)
+                band = jnp.logical_and(band, valid)
+
+                @pl.when(jnp.any(band))
+                def _exact_fallback():
+                    d2_ref[g] = ((chunk[0:1, :] - cx) ** 2
+                                 + (chunk[1:2, :] - cy) ** 2
+                                 + (chunk[2:3, :] - cz) ** 2)
+
+                d2 = d2_ref[g]
+            else:
+                d2 = ((chunk[0:1, :] - cx) ** 2 + (chunk[1:2, :] - cy) ** 2
+                      + (chunk[2:3, :] - cz) ** 2)  # (Tm, W)
+                d2_ref[g] = d2
             acc = running
             for r, r2 in enumerate(radii2):
                 m = jnp.logical_and(d2 < r2, valid)
@@ -309,7 +379,8 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
 def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
                               new_xyz: jax.Array, tile_m: int = 256,
                               w: int = _GROUP_W,
-                              n_valid_dyn: jax.Array = None):
+                              n_valid_dyn: jax.Array = None,
+                              mxu_dist: bool = False):
     """Large-N path of `ball_query_multi_pallas` (same results).
 
     `n_valid_dyn` (B,) int32, optional: per-batch-row dynamic count of real
@@ -340,7 +411,8 @@ def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
     kernel = functools.partial(
         _bq_grouped_kernel, radii2=tuple(float(r) ** 2 for r in radii),
         nsamples=tuple(int(s) for s in nsamples), s_pads=s_pads,
-        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups, w=W)
+        n_valid=N, m_valid=M, tile_m=tile_m, n_groups=n_groups, w=W,
+        mxu_dist=mxu_dist)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, m_pad // tile_m),
@@ -368,11 +440,12 @@ def _ball_query_multi_grouped(radii, nsamples, xyz: jax.Array,
     return tuple(o[:, :M, :s] for o, s in zip(outs, nsamples))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 7))
 def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
                             new_xyz: jax.Array, prefix: int = 0,
                             grouped: bool = False,
-                            n_valid_dyn: jax.Array = None):
+                            n_valid_dyn: jax.Array = None,
+                            mxu_dist: bool = None):
     """Several ball queries over the same (xyz, new_xyz) pair.
 
     radii/nsamples: tuples; returns a tuple of (B, M, nsample_i) int32.
@@ -384,10 +457,19 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     only over the prefix of 512-lane groups holding each center tile's
     first-S hits. A win when center tiles are spatially coherent AND hits
     are dense (posed-stage body queries: 52 -> 34 ms at production shapes);
-    a loss for scattered centers (FPS output: 26 -> 53 ms), so opt-in."""
+    a loss for scattered centers (FPS output: 26 -> 53 ms), so opt-in.
+
+    `mxu_dist` (grouped path only; default off, or G4D_BQ_MXU=1) computes
+    the phase-1 distances in MXU expansion form with an exact-fallback
+    ambiguity band - bitwise-identical outputs; see _bq_grouped_kernel."""
+    if mxu_dist is None:
+        import os
+
+        mxu_dist = os.environ.get("G4D_BQ_MXU", "0") == "1"
     if grouped and len(radii) <= 3 and xyz.shape[1] > 1024:
         return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz,
-                                         n_valid_dyn=n_valid_dyn)
+                                         n_valid_dyn=n_valid_dyn,
+                                         mxu_dist=bool(mxu_dist))
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     n_pad = _round_up(N, 128)

@@ -235,7 +235,12 @@ def _chain_kernel_nv(nvalid_ref, table_ref, idx_ref, ctr_ref, *refs, S: int,
     j_groups = R // 128
 
     nv = nvalid_ref[pl.program_id(0)]
-    live = jnp.minimum((nv + 127) // 128, n_chunks)
+    # clamp to >= 1: at nv == 0 every idx is the no-hit prefill 0, and the
+    # static kernel gathers table row 0 (a 1e9 sentinel) for it; a
+    # zero-iteration scan would return 0 instead and make exactness depend
+    # on the caller's no-hit fixup. One chunk keeps the two kernels bitwise
+    # equal unconditionally.
+    live = jnp.clip((nv + 127) // 128, 1, n_chunks)
 
     # ---- gather: chunk-outer fori loop with a traced bound --------------
     chunk_ids = []
@@ -286,9 +291,12 @@ def fused_chain_pallas_nv(table: jax.Array, idx: jax.Array,
                           nsample: int, n_valid: jax.Array) -> jax.Array:
     """`fused_chain_pallas` for sentinel-padded tables: `n_valid` (B,) int32
     counts the real leading rows per batch row; the in-kernel gather skips
-    chunks past it. EXACT iff no idx value is >= n_valid[b] (guaranteed for
-    ball-query outputs over 1e9-sentinel-padded tables - sentinels never
-    hit, no-hit centers yield idx 0)."""
+    chunks past it. EXACT iff no idx value is >= max(n_valid[b], 128)
+    (guaranteed for ball-query outputs over 1e9-sentinel-padded tables -
+    sentinels never hit, and no-hit centers yield the prefill idx 0, which
+    the kernel always scans: the chunk bound is clamped to >= 1 so
+    n_valid[b] == 0 still gathers the sentinel row 0 exactly like the
+    static kernel)."""
     B, N, C = table.shape
     M = idx.shape[1]
     S = nsample

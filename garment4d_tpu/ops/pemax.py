@@ -19,6 +19,7 @@ Reference behaviour being replaced: `QueryAndGroup` + PE-MLP + `max`
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -26,6 +27,13 @@ import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+
+# Chunk-skipping PE gather over sentinel-padded candidate tables
+# (fused_chain_pallas_nv). Off by default: the round-4 on-chip A/B measured
+# the dynamic fori-loop gather SLOWER than the static unrolled chunk scan on
+# the headline path (bench 277.2 -> 256.7 f/s; see PLAN.md round-5 ledger).
+# G4D_PE_NV=1 re-enables it for experiments.
+_NV_ENABLED = os.environ.get("G4D_PE_NV", "0") == "1"
 
 
 def _pe_reference(table: Array, idx: Array, centers: Array, k0: Array,
@@ -377,7 +385,8 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
                          use_pallas=None, spatial: bool = False,
                          candidates: dict = None,
                          reuse_margin: float = 0.0,
-                         table_grad: bool = True):
+                         table_grad: bool = True,
+                         mxu_dist: bool = None):
     """Candidate-compacted multi-radius ball query + fused PE blocks.
 
     Returns a tuple of (B, M, G_i) PE features, exactly
@@ -502,10 +511,12 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
         nv = jnp.minimum(st["counts"], cap)
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
-            cxyz_s, ctr_s, grouped=True, n_valid_dyn=nv)
-        # the fused PE kernels' table-chunk scans stop at the same dynamic
-        # count the query kernel's group skipping uses
-        outs = pe_all(st["cpacked"], idxs, centers, n_valid=nv)
+            cxyz_s, ctr_s, grouped=True, n_valid_dyn=nv,
+            mxu_dist=mxu_dist)
+        # opt-in: the fused PE kernels' table-chunk scans stop at the same
+        # dynamic count the query kernel's group skipping uses (_NV_ENABLED)
+        outs = pe_all(st["cpacked"], idxs, centers,
+                      n_valid=nv if _NV_ENABLED else None)
         d0 = jnp.sum((ctr_s - cxyz_s[:, 0:1, :]) ** 2, axis=-1)
         return no_hit_fix(outs, idxs, packed_full[:, 0, :], centers, d0)
 
@@ -513,7 +524,7 @@ def query_group_pe_multi(radii: Sequence[float], nsamples: Sequence[int],
         idxs = ball_query_multi_pallas(
             tuple(float(r) for r in radii), S_total,
             lax.stop_gradient(xyz_full), lax.stop_gradient(centers),
-            grouped=True)
+            grouped=True, mxu_dist=mxu_dist)
         return tuple(pe_all(packed_full, idxs, centers))
 
     outs = lax.cond(state["overflow"], full_branch, compact_branch,

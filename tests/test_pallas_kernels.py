@@ -731,6 +731,34 @@ class TestDynamicValidFusedPE:
                 *args, jnp.asarray(counts)))
         np.testing.assert_array_equal(got, want)
 
+    def test_nv_zero_matches_static(self, rng):
+        """n_valid == 0: every idx is the no-hit prefill 0, and the clamped
+        one-chunk scan must gather the sentinel row 0 exactly like the
+        static kernel (exactness must not depend on the caller's no-hit
+        fixup overwriting the output downstream)."""
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_chain_pallas,
+            fused_chain_pallas_nv,
+        )
+
+        counts, table, idx, ctr = self._setup(rng, B=3)
+        counts = np.asarray([counts[0], 0, counts[2]], np.int32)
+        lane = np.arange(table.shape[1])[None, :, None]
+        table[..., :3] = np.where(lane < counts[:, None, None],
+                                  table[..., :3], 1e9)
+        idx[1] = 0  # the prefill convention for a frame with no candidates
+        ws = (rng.randn(6, 32).astype(np.float32) * 0.2,
+              rng.randn(32, 32).astype(np.float32) * 0.2)
+        bs = (rng.randn(32).astype(np.float32),
+              rng.randn(32).astype(np.float32))
+        args = (jnp.asarray(table), jnp.asarray(idx), jnp.asarray(ctr),
+                ws, bs, (True, False), 16)
+        with pltpu.force_tpu_interpret_mode():
+            want = np.asarray(fused_chain_pallas(*args))
+            got = np.asarray(fused_chain_pallas_nv(
+                *args, jnp.asarray(counts)))
+        np.testing.assert_array_equal(got, want)
+
     def test_group_pe_max_nv_grads(self, rng):
         """The nt_nv custom_vjp's backward == reference autodiff (the
         forward skips chunks; the recompute backward must not care)."""
@@ -1220,3 +1248,55 @@ class TestFusedPeBackward:
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestMxuDistanceBallQuery:
+    """MXU expansion-form phase-1 distances in the grouped kernel
+    (`_bq_grouped_kernel` mxu_dist): bitwise == the exact VPU diff form,
+    including on data engineered to land in the ambiguity band (forcing the
+    per-group exact fallback) and on sentinel-padded dynamic tables."""
+
+    def _run_both(self, xyz, centers, radii, ss, nv=None):
+        from garment4d_tpu.ops.pallas.ball_query import (
+            _ball_query_multi_grouped,
+        )
+
+        with pltpu.force_tpu_interpret_mode():
+            exact = _ball_query_multi_grouped(
+                radii, ss, jnp.asarray(xyz), jnp.asarray(centers),
+                n_valid_dyn=nv, mxu_dist=False)
+            mxu = _ball_query_multi_grouped(
+                radii, ss, jnp.asarray(xyz), jnp.asarray(centers),
+                n_valid_dyn=nv, mxu_dist=True)
+        for e, m in zip(exact, mxu):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(e))
+
+    def test_random_cloud_bitwise(self, rng):
+        xyz = rng.randn(2, 1536, 3).astype(np.float32) * 0.3
+        centers = xyz[:, ::4][:, :130] + \
+            rng.randn(2, 130, 3).astype(np.float32) * 0.02
+        self._run_both(xyz, centers, (0.1, 0.2, 0.4), (4, 8, 16))
+
+    def test_band_trigger_bitwise(self, rng):
+        # points placed EXACTLY at the radius boundary (and eps-close to
+        # it), so the expansion-form membership is genuinely ambiguous and
+        # the kernel must take the exact fallback to stay bitwise
+        r = 0.2
+        centers = rng.randn(1, 64, 3).astype(np.float32) * 0.3
+        base = rng.randn(1, 1536, 3).astype(np.float32) * 0.3
+        # sprinkle boundary points around the first 32 centers
+        dirs = rng.randn(32, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        for i in range(32):
+            for j, off in enumerate((0.0, 1e-7, -1e-7, 3e-6)):
+                base[0, i * 8 + j] = centers[0, i] + (r + off) * dirs[i]
+        self._run_both(base, centers, (0.2, 0.4), (8, 16))
+
+    def test_sentinel_padded_dynamic(self, rng):
+        xyz = rng.randn(2, 1536, 3).astype(np.float32) * 0.3
+        nv = np.asarray([1100, 600], np.int32)
+        lanei = np.arange(1536)[None, :, None]
+        xyz = np.where(lanei < nv[:, None, None], xyz, 1e9).astype(np.float32)
+        centers = rng.randn(2, 100, 3).astype(np.float32) * 0.3
+        self._run_both(xyz, centers, (0.1, 0.2, 0.4), (4, 8, 16),
+                       nv=jnp.asarray(nv))

@@ -29,6 +29,10 @@ VARIANTS = {
     "reuse": {"candidate_reuse_margin": 0.05},
     "spatial": {"spatial_sample": True},
     "spatial+reuse": {"spatial_sample": True, "candidate_reuse_margin": 0.05},
+    # MXU expansion-form distances in the grouped body-query kernel with an
+    # exact-fallback ambiguity band (bitwise-identical outputs; VERDICT r04
+    # #1 lever) - same headline path, phase-1 distances on the MXU.
+    "mxu": {"bq_mxu_dist": True},
 }
 
 

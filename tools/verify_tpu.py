@@ -135,6 +135,35 @@ def main():
 
     r.check("ball_query grouped + dyn-valid", bq_grouped)
 
+    # ---- ball query: MXU expansion-form distances --------------------------
+    def bq_mxu():
+        from garment4d_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+
+        # same setup as bq_grouped, PLUS engineered boundary points so the
+        # expansion-form ambiguity band genuinely fires on chip (compiled
+        # bf16 MXU splits, not interpret-mode f64 emulation)
+        nv = jnp.asarray([5000, 6100], jnp.int32)
+        tb = np.array(body)
+        gm = np.array(garment)
+        dirs = np.asarray(rng.randn(32, 3), np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        for i in range(32):
+            for j, off in enumerate((0.0, 1e-7, -1e-7, 3e-6)):
+                tb[:, i * 8 + j] = gm[:, i] + (0.2 + off) * dirs[i]
+        lane = np.arange(N)[None, :, None]
+        table = jnp.asarray(np.where(lane < np.asarray(nv)[:, None, None],
+                                     tb, 1e9).astype(np.float32))
+        exact = ball_query_multi_pallas((0.1, 0.2, 0.4), (8, 16, 32),
+                                        table, garment, grouped=True,
+                                        n_valid_dyn=nv, mxu_dist=False)
+        mxu = ball_query_multi_pallas((0.1, 0.2, 0.4), (8, 16, 32),
+                                      table, garment, grouped=True,
+                                      n_valid_dyn=nv, mxu_dist=True)
+        for g, w in zip(mxu, exact):
+            close(g, w, exact=True)
+
+    r.check("ball_query grouped MXU-dist vs exact", bq_mxu)
+
 
     # ---- coverage mask -----------------------------------------------------
     def coverage():
@@ -316,6 +345,65 @@ def main():
             close(g, w, tol=tol)
 
     r.check("group_pe_max_split_frozen grads", pe_split_frozen)
+
+    def pe_nv():
+        # chunk-skipping nv kernel vs the static kernel on a sentinel-padded
+        # candidate table: bitwise-equal outputs, including a frame whose
+        # valid count rounds to a partial chunk and one with nv=0 (the
+        # clamped single-chunk scan must gather the sentinel row 0 exactly
+        # like the static kernel does)
+        from garment4d_tpu.ops.pallas.fusedpe import (
+            fused_chain_pallas,
+            fused_chain_pallas_nv,
+        )
+
+        cap = 4992  # candidate cap at body shapes (0.72*6890 rounded to 128)
+        nv = jnp.asarray([3100, 0], jnp.int32)
+        lane = jnp.arange(cap)[None, :, None]
+        ctab = jnp.where(lane < nv[:, None, None], body[:, :cap, :],
+                         jnp.float32(1e9))
+        ctab = jnp.concatenate([ctab, jnp.where(lane < nv[:, None, None],
+                                                feats[:, :cap, :3], 0.0)],
+                               axis=-1)  # C=6
+        # idx within valid rows (or the no-hit prefill 0 for frame 1)
+        gidx = jnp.asarray(rng.randint(0, 3100, (B, Vg, 16)).astype(np.int32))
+        gidx = jnp.where(jnp.arange(B)[:, None, None] == 1, 0, gidx)
+        k0 = jnp.asarray(rng.randn(6, 32).astype(np.float32) * 0.3)
+        b0 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        k1 = jnp.asarray(rng.randn(32, 32).astype(np.float32) * 0.3)
+        b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        got = fused_chain_pallas_nv(ctab, gidx, garment, (k0, k1), (b0, b1),
+                                    (True, False), 16, nv)
+        want = fused_chain_pallas(ctab, gidx, garment, (k0, k1), (b0, b1),
+                                  (True, False), 16)
+        close(got, want, exact=True)
+
+    r.check("fused PE nv (chunk-skip) vs static", pe_nv)
+
+    def qgpm_frozen():
+        # the PRODUCTION posed-stage configuration of query_group_pe_multi:
+        # table_grad=False (body table is batch data), which is the only
+        # path that can route through the nv kernel when G4D_PE_NV=1
+        from garment4d_tpu.ops import pemax
+
+        table_feats = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        params = []
+        for _ in range(3):
+            params.append((
+                jnp.asarray(rng.randn(6, 32).astype(np.float32) * 0.3),
+                jnp.asarray(rng.randn(32).astype(np.float32) * 0.1),
+                jnp.asarray(rng.randn(32, 32).astype(np.float32) * 0.3),
+                jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)))
+        got = pemax.query_group_pe_multi(
+            (0.1, 0.2, 0.4), (8, 16, 32), body, garment, table_feats, params,
+            table_grad=False)
+        want = pemax.query_group_pe_multi(
+            (0.1, 0.2, 0.4), (8, 16, 32), body, garment, table_feats, params,
+            use_pallas=False, table_grad=False)
+        for g, w in zip(got, want):
+            close(g, w, tol=2e-4)
+
+    r.check("query_group_pe_multi frozen-table vs ref", qgpm_frozen)
 
     def chain():
         from garment4d_tpu.ops import pemax
