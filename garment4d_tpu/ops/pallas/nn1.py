@@ -1,0 +1,122 @@
+"""Fused 1-nearest-neighbour Pallas kernel (squared distance + index).
+
+Replaces `knn_points(K=1)`'s XLA lowering on the TPU hot path. XLA fuses
+the pairwise-distance computation into the (value, index) argmin as a kLoop
+variadic reduce that runs at ~5% of VPU speed - measured 7.8 ms for a
+(40, 2000) x 6890 query on a v5e, where the arithmetic floor is ~1.2 ms.
+(A min + first-index-where-equal two-reduce rewrite measures even slower,
+10.7 ms: the distance form gets recomputed inside both reduce fusions.)
+This kernel keeps one (query-tile, points) distance block in VMEM and runs
+the min and the first-occurrence index extraction as vectorized lane
+reduces.
+
+Semantics match chamferdist/pytorch3d `knn_points(K=1)` as used by the
+reference (`modules/mesh_encoder.py:18,321-324`, `loss/*.py`): exact f32
+coordinate-difference distances (the CUDA scan is diff-form f32 too) and
+ties broken towards the lower index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_Q = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, pts_ref, d2_ref, idx_ref, *, n_valid: int):
+    """q_ref (1, Tq, 3); pts_ref (1, 3, Np); outputs (1, Tq, 128)."""
+    n_pad = pts_ref.shape[-1]
+    tile_q = q_ref.shape[1]
+    qx = q_ref[0, :, 0:1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+    ps = pts_ref[0]
+    d2 = ((ps[0:1, :] - qx) ** 2 + (ps[1:2, :] - qy) ** 2
+          + (ps[2:3, :] - qz) ** 2)  # (Tq, Np)
+    lane = lax.broadcasted_iota(jnp.int32, (tile_q, n_pad), dimension=1)
+    d2 = jnp.where(lane < n_valid, d2, jnp.float32(jnp.inf))
+    best = jnp.min(d2, axis=1, keepdims=True)  # (Tq, 1)
+    # first occurrence of the minimum == argmin's tie rule (the comparison
+    # runs on the same in-VMEM d2 values, so it picks exactly that lane)
+    idx = jnp.min(jnp.where(d2 == best, lane, jnp.int32(n_pad)), axis=1,
+                  keepdims=True)
+    d2_ref[0] = jnp.broadcast_to(best, (tile_q, 128))
+    idx_ref[0] = jnp.broadcast_to(idx, (tile_q, 128))
+
+
+def _nn1_impl(query: jax.Array, points: jax.Array):
+    B, M, _ = query.shape
+    N = points.shape[1]
+    m_pad = _round_up(M, _TILE_Q)
+    q = query.astype(jnp.float32)
+    if m_pad != M:
+        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
+    pts = jnp.transpose(points, (0, 2, 1)).astype(jnp.float32)
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - N)))
+
+    kern = functools.partial(_kernel, n_valid=N)
+    d2, idx = pl.pallas_call(
+        kern,
+        grid=(B, m_pad // _TILE_Q),
+        in_specs=[
+            pl.BlockSpec((1, _TILE_Q, 3), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TILE_Q, 128), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_Q, 128), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, m_pad, 128), jnp.int32),
+        ),
+    )(q, pts)
+    return d2[:, :M, 0], idx[:, :M, 0]
+
+
+@jax.custom_vjp
+def nn1_pallas(query: jax.Array, points: jax.Array):
+    """query (B, M, 3), points (B, N, 3) -> (d2 (B, M) f32, idx (B, M) i32):
+    the squared distance to and index of each query's nearest point, exact
+    diff-form f32, ties to the lower index."""
+    return _nn1_impl(query, points)
+
+
+def _nn1_fwd(query, points):
+    d2, idx = _nn1_impl(query, points)
+    return (d2, idx), (query, points, idx)
+
+
+def _nn1_bwd(res, cots):
+    query, points, idx = res
+    g = cots[0]  # idx cotangent is int/zero
+    near = jnp.take_along_axis(points, idx[..., None].astype(jnp.int32),
+                               axis=1)  # (B, M, 3)
+    diff = 2.0 * (query - near)
+    dq = diff * g[..., None]
+    # the selected-point cotangent; every production call site queries
+    # against non-differentiated tables (batch body/t-pose clouds), so XLA
+    # dead-code-eliminates this scatter - it exists for correctness if a
+    # differentiable table ever appears
+    dp = jnp.zeros_like(points).at[
+        jnp.arange(points.shape[0])[:, None], idx].add(-dq)
+    return dq, dp
+
+
+nn1_pallas.defvjp(_nn1_fwd, _nn1_bwd)

@@ -530,20 +530,36 @@ class KnnResult(NamedTuple):
 
 
 def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
-               exact: bool = False) -> KnnResult:
+               exact: bool = False, use_pallas=None) -> KnnResult:
     """K nearest neighbours of `query` in `points`.
 
     query: (B, M, 3), points: (B, N, 3) -> dists (B, M, K) SQUARED distances,
     idx (B, M, K). Matches chamferdist/pytorch3d `knn_points` used by the
     reference (`modules/mesh_encoder.py:18,321-324`): returns squared
     distances, ties broken towards lower index.
+
+    K=1 on TPU takes the fused nn1 Pallas kernel (exact diff-form f32, same
+    tie rule; XLA's fused distance+argmin lowering runs ~6x slower - see
+    ops/pallas/nn1.py).
     """
     B, M, _ = query.shape
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if K == 1 and use_pallas and points.shape[1] >= 512:
+        from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
+
+        d2, idx = nn1_pallas(query, points)
+        return KnnResult(d2[..., None], idx[..., None])
 
     def one_chunk(q):
         d2 = pairwise_sqdist(q, points, exact=exact)
         if K == 1:
             # argmin instead of top_k: top_k lowers to a full sort on TPU
+            # (the TPU hot path takes the fused nn1 Pallas kernel above and
+            # never reaches this; a min + first-index-where-equal two-reduce
+            # rewrite of this XLA form was MEASURED SLOWER than the variadic
+            # argmin - 10.7 vs 7.8 ms at (40, 2000, 6890) - both lose to
+            # the kernel's 1.x ms, so the fallback keeps the simple form)
             best = jnp.min(d2, axis=-1, keepdims=True)
             idx = jnp.argmin(d2, axis=-1)[..., None].astype(jnp.int32)
             return KnnResult(best, idx)

@@ -92,6 +92,20 @@ class TestKnn:
         b = ops.knn_points(jnp.asarray(q), jnp.asarray(p), K=4, chunk=1024)
         np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
 
+    def test_k1_tie_breaks_to_first(self, rng):
+        # K=1's two-reduce form (min + first-lane-where-equal, replacing the
+        # kLoop variadic argmin) must keep argmin's first-occurrence tie rule
+        q = np.zeros((1, 3, 3), np.float32)
+        p = np.zeros((1, 8, 3), np.float32)
+        p[0, :, 0] = [5.0, 2.0, 2.0, 7.0, 2.0, 9.0, 1.5, 1.5]
+        q[0, :, 0] = [0.0, 2.0, 100.0]  # ties at idx 1/2/4 and 6/7
+        res = ops.knn_points(jnp.asarray(q), jnp.asarray(p), K=1, exact=True)
+        d2 = np.sum((q[:, :, None] - p[:, None]) ** 2, -1)
+        np.testing.assert_array_equal(
+            np.asarray(res.idx)[..., 0], d2.argmin(-1))
+        assert np.asarray(res.idx)[0, 0, 0] == 6  # the tie, lowest index
+        assert np.asarray(res.idx)[0, 1, 0] == 1
+
 
 class TestGatherGroup:
     def test_gather(self, rng):

@@ -1300,3 +1300,63 @@ class TestMxuDistanceBallQuery:
         centers = rng.randn(2, 100, 3).astype(np.float32) * 0.3
         self._run_both(xyz, centers, (0.1, 0.2, 0.4), (4, 8, 16),
                        nv=jnp.asarray(nv))
+
+
+class TestNN1Kernel:
+    """Fused 1-NN kernel (`ops/pallas/nn1.py`) vs the XLA exact form:
+    squared distances, argmin's first-occurrence tie rule, and the
+    custom_vjp backward vs autodiff of the XLA path."""
+
+    def _ref(self, q, p):
+        d2 = np.sum((q[:, :, None].astype(np.float64)
+                     - p[:, None].astype(np.float64)) ** 2, -1)
+        return d2.min(-1), d2.argmin(-1)
+
+    def test_matches_argmin(self, rng):
+        from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
+
+        q = rng.randn(2, 300, 3).astype(np.float32) * 0.3
+        p = rng.randn(2, 700, 3).astype(np.float32) * 0.3
+        with pltpu.force_tpu_interpret_mode():
+            d2, idx = jax.jit(nn1_pallas)(jnp.asarray(q), jnp.asarray(p))
+        want_d, want_i = self._ref(q, p)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+        np.testing.assert_allclose(np.asarray(d2), want_d, rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_tie_breaks_to_first(self, rng):
+        from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
+
+        q = np.zeros((1, 130, 3), np.float32)
+        p = rng.randn(1, 520, 3).astype(np.float32)
+        # rows 0/1: exact duplicate points -> lower index must win
+        p[0, 7] = p[0, 3] = [0.5, 0, 0]
+        q[0, 1] = [0.55, 0, 0]
+        with pltpu.force_tpu_interpret_mode():
+            _, idx = jax.jit(nn1_pallas)(jnp.asarray(q), jnp.asarray(p))
+        assert np.asarray(idx)[0, 1] == 3
+
+    def test_grads_match_xla(self, rng):
+        from garment4d_tpu.ops import pointcloud as pc
+        from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
+
+        q = rng.randn(1, 140, 3).astype(np.float32) * 0.3
+        p = rng.randn(1, 600, 3).astype(np.float32) * 0.3
+
+        def loss_kernel(q, p):
+            d2, _ = nn1_pallas(q, p)
+            return jnp.sum(jnp.sin(d2))
+
+        def loss_xla(q, p):
+            res = pc.knn_points(q, p, K=1, exact=True, use_pallas=False)
+            return jnp.sum(jnp.sin(res.dists[..., 0]))
+
+        with pltpu.force_tpu_interpret_mode():
+            gq, gp = jax.grad(loss_kernel, argnums=(0, 1))(
+                jnp.asarray(q), jnp.asarray(p))
+        gq_ref, gp_ref = jax.grad(loss_xla, argnums=(0, 1))(
+            jnp.asarray(q), jnp.asarray(p))
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref),
+                                   rtol=1e-5, atol=1e-6)

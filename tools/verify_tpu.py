@@ -164,6 +164,23 @@ def main():
 
     r.check("ball_query grouped MXU-dist vs exact", bq_mxu)
 
+    # ---- fused 1-NN (squared dist + first-occurrence argmin) ---------------
+    def nn1():
+        from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
+
+        q = garment  # (B, Vg, 3) garment verts vs the body table
+        d2k, idxk = jax.jit(nn1_pallas)(q, body)
+        d2w = pc.pairwise_sqdist(q, body, exact=True)
+        close(idxk, jnp.argmin(d2w, axis=-1).astype(jnp.int32), exact=True)
+        close(d2k, jnp.min(d2w, axis=-1), tol=1e-6)
+        # backward: the dq path vs autodiff of the XLA exact form
+        gk = jax.grad(lambda a: jnp.sum(jnp.sin(nn1_pallas(a, body)[0])))(q)
+        gw = jax.grad(lambda a: jnp.sum(jnp.sin(jnp.min(
+            pc.pairwise_sqdist(a, body, exact=True), axis=-1))))(q)
+        close(gk, gw, tol=1e-5)
+
+    r.check("fused 1-NN kernel vs XLA exact", nn1)
+
 
     # ---- coverage mask -----------------------------------------------------
     def coverage():
