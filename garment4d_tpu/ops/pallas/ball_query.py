@@ -477,8 +477,21 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     # fixed per-step cost on; larger sets need the VMEM for the (Tm, N) scan
     # arrays. (Measured at the posed stage's garment queries, N=1792 S=32:
     # 256-row tiles run 11% faster than 64-row ones - an early-round note
-    # about 256-row spills at this size no longer reproduces.)
-    TILE_M = 64 if n_pad > 2048 else (256 if n_pad > 128 else 512)
+    # about 256-row spills at this size no longer reproduces. Round-5
+    # re-check: a STANDALONE pe0-shape A/B ranked 128/512 ~10% ahead of
+    # 256, but on the full posed forward 128 loses 1.9 f/s (275.2 vs
+    # 277.1) and 512 OOMs scoped vmem at sa3's wide fused scales - the
+    # standalone ranking does not transfer; 256 stays. G4D_BQ_TILE_MID
+    # overrides for experiments.)
+    import os
+
+    mid = int(os.environ.get("G4D_BQ_TILE_MID", "256"))
+    if len(radii) == 1 and 128 < n_pad <= 2048:
+        # single-radius mid-size queries (the per-iteration garment PEs)
+        # carry one 128-wide output and fit 512-row tiles in scoped vmem;
+        # G4D_BQ_TILE_PE overrides for experiments
+        mid = int(os.environ.get("G4D_BQ_TILE_PE", "512"))
+    TILE_M = 64 if n_pad > 2048 else (mid if n_pad > 128 else 512)
     m_pad = _round_up(M, TILE_M)
     s_pads = tuple(_round_up(s, 128) for s in nsamples)
     prefix_p = _round_up(prefix, 128) if prefix else n_pad
