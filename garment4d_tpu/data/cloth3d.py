@@ -24,6 +24,7 @@ On-disk layout (reference README.md:58-72):
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import os
@@ -118,7 +119,12 @@ class Cloth3dDataset:
         self.npoints = npoints
         self.pca_dim = pca_dim
         self.body_verts = body_verts
-        self._seq_cache: Dict[str, tuple] = {}
+        # bounded like the module-level lru_caches above: at real CLOTH3D
+        # sizes an entry is ~0.3-0.5 MB (pca + remesh + raw template), so a
+        # full epoch over thousands of sequences must evict, not grow
+        self._seq_cache: "collections.OrderedDict[str, tuple]" = \
+            collections.OrderedDict()
+        self._seq_cache_max = 1024
         rng = rng or np.random.RandomState()
 
         with open(file_list) as f:
@@ -198,8 +204,16 @@ class Cloth3dDataset:
             a.setflags(write=False)
         entry = (gender, pca_coeff, remesh_ind, remesh_w, tmpl_v_raw)
         # dict assignment is atomic under the GIL; a compute-twice race
-        # between loader threads is benign (identical values)
+        # between loader threads is benign (identical values). Eviction is
+        # approximate-LRU (insertion order): popping a key another thread
+        # is reading is fine - the entry tuple stays alive via its local
+        # reference.
         self._seq_cache[seq_name] = entry
+        while len(self._seq_cache) > self._seq_cache_max:
+            try:
+                self._seq_cache.popitem(last=False)
+            except KeyError:  # racing evictors
+                break
         return entry
 
     def raw_item(self, index: int) -> Dict[str, np.ndarray]:

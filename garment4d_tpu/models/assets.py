@@ -123,11 +123,20 @@ class GarmentAssets:
 
     def permuted(self, perm: np.ndarray) -> "GarmentAssets":
         """The same garment with vertices re-indexed: new vertex i is old
-        vertex perm[i]. Faces and the per-vertex blocks of the PCA basis /
-        mean / scale are remapped consistently, so the permuted assets
-        describe the IDENTICAL mesh - used by tests to model real templates
-        whose OBJ vertex order is not grid-coherent, and by
-        tools/reorder_template.py to fix them."""
+        vertex perm[i]. Faces, the per-vertex blocks of the PCA basis /
+        mean / scale, AND the graph operators are remapped consistently, so
+        the permuted assets describe the IDENTICAL mesh and compute the
+        identical GCN/smoothing math - used by tests to model real
+        templates whose OBJ vertex order is not grid-coherent.
+
+        The graph operators are relabelled directly (op[perm][:, perm])
+        rather than rebuilt from the permuted faces: `build_mesh_adjacency`
+        reproduces the reference's tri-face quirk of inserting a spurious
+        (0, 0) entry at the LITERAL index 0, which would re-anchor at the
+        new vertex 0 on a rebuild instead of following the permutation -
+        the relabelled matrix keeps it at (inv[0], inv[0]), i.e. the same
+        mesh vertex (this matches the production band-reorder path in
+        models/posed.py, which also relabels the built matrix)."""
         perm = np.asarray(perm, np.int64)
         V = self.num_verts
         inv = np.argsort(perm)
@@ -138,7 +147,7 @@ class GarmentAssets:
         if scale.ndim and scale.size == V * 3:
             scale = scale.reshape(V, 3)[perm].reshape(-1)
         faces = [[int(inv[i]) for i in f] for f in self.faces]
-        return GarmentAssets.build(
+        built = GarmentAssets.build(
             name=self.name,
             template_v=self.template_v[perm],
             faces=faces,
@@ -146,6 +155,12 @@ class GarmentAssets:
             pca_mean=mean,
             pca_explained=self.pca_explained,
             pca_scale=scale,
+        )
+        return dataclasses.replace(
+            built,
+            gcn_adj=np.ascontiguousarray(self.gcn_adj[perm][:, perm]),
+            lap_adj=np.ascontiguousarray(self.lap_adj[perm][:, perm]),
+            smooth_op=np.ascontiguousarray(self.smooth_op[perm][:, perm]),
         )
 
     @classmethod

@@ -25,12 +25,22 @@ whose quotas need most of the array, keep the plain full scan.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Experiment knobs, read ONCE at import: these feed @jax.jit-traced code
+# whose trace cache is keyed on shapes/static args only, so a mid-process
+# env change after a same-shape call would silently hit the stale cached
+# program. Import-time resolution makes them honestly process-level (the
+# round-5 A/Bs set them via one subprocess per setting).
+_ENV_MXU_DIST = os.environ.get("G4D_BQ_MXU", "0") == "1"
+_ENV_TILE_MID = int(os.environ.get("G4D_BQ_TILE_MID", "256"))
+_ENV_TILE_PE = int(os.environ.get("G4D_BQ_TILE_PE", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -463,9 +473,7 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     the phase-1 distances in MXU expansion form with an exact-fallback
     ambiguity band - bitwise-identical outputs; see _bq_grouped_kernel."""
     if mxu_dist is None:
-        import os
-
-        mxu_dist = os.environ.get("G4D_BQ_MXU", "0") == "1"
+        mxu_dist = _ENV_MXU_DIST
     if grouped and len(radii) <= 3 and xyz.shape[1] > 1024:
         return _ball_query_multi_grouped(radii, nsamples, xyz, new_xyz,
                                          n_valid_dyn=n_valid_dyn,
@@ -483,14 +491,12 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
     # 277.1) and 512 OOMs scoped vmem at sa3's wide fused scales - the
     # standalone ranking does not transfer; 256 stays. G4D_BQ_TILE_MID
     # overrides for experiments.)
-    import os
-
-    mid = int(os.environ.get("G4D_BQ_TILE_MID", "256"))
+    mid = _ENV_TILE_MID
     if len(radii) == 1 and 128 < n_pad <= 2048:
         # single-radius mid-size queries (the per-iteration garment PEs)
         # carry one 128-wide output and fit 512-row tiles in scoped vmem;
         # G4D_BQ_TILE_PE overrides for experiments
-        mid = int(os.environ.get("G4D_BQ_TILE_PE", "512"))
+        mid = _ENV_TILE_PE
     TILE_M = 64 if n_pad > 2048 else (mid if n_pad > 128 else 512)
     m_pad = _round_up(M, TILE_M)
     s_pads = tuple(_round_up(s, 128) for s in nsamples)

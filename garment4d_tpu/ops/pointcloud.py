@@ -538,14 +538,17 @@ def knn_points(query: Array, points: Array, K: int = 1, chunk: int = 2048,
     reference (`modules/mesh_encoder.py:18,321-324`): returns squared
     distances, ties broken towards lower index.
 
-    K=1 on TPU takes the fused nn1 Pallas kernel (exact diff-form f32, same
-    tie rule; XLA's fused distance+argmin lowering runs ~6x slower - see
-    ops/pallas/nn1.py).
+    K=1 on TPU takes the fused nn1 Pallas kernel for mid-size tables
+    (exact diff-form f32 - i.e. what `exact=True` requests; same tie rule;
+    XLA's fused distance+argmin lowering runs ~6x slower - see
+    ops/pallas/nn1.py). Tables past ~8k points fall back to the
+    query-chunked XLA path: the kernel holds a (128, N) distance block
+    plus temporaries in the 16 MB scoped VMEM, which bounds N.
     """
     B, M, _ = query.shape
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if K == 1 and use_pallas and points.shape[1] >= 512:
+    if K == 1 and use_pallas and 512 <= points.shape[1] <= 8192:
         from garment4d_tpu.ops.pallas.nn1 import nn1_pallas
 
         d2, idx = nn1_pallas(query, points)

@@ -102,10 +102,15 @@ def surface_correspondence(src_verts: np.ndarray, src_faces: np.ndarray,
                            dst_verts: np.ndarray, chunk: int = 512):
     """Nearest-point-on-surface barycentric correspondence.
 
-    Returns (face_idx (Vd,), bary (Vd, 3), vert_idx (Vd, 3)) such that
-    dst[i] ~= sum_k bary[i, k] * src[vert_idx[i, k]]. This is the
+    Returns (face_idx (Vd,), bary (Vd, 3) float64, vert_idx (Vd, 3)) such
+    that dst[i] ~= sum_k bary[i, k] * src[vert_idx[i, k]]. This is the
     construction of the reference's shipped def_matrix files (which the
-    repo only applies; the build lived offline)."""
+    repo only applies; the build lived offline). `bary` stays float64:
+    the de-penetration path (data/postprocess.py) classifies boundary
+    vertices at ~1e-6 tolerances against an f64 AABB-tree reference, and
+    an f32 round-trip here perturbs the nearest point by ~1e-7 * scale -
+    enough to flip sub-tolerance inside/outside calls. Consumers that
+    want f32 (the def-matrix fill) cast at assignment."""
     faces = np.asarray(src_faces, np.int64)
     tri_v = np.asarray(src_verts, np.float64)[faces]  # (F, 3, 3)
     dst = np.asarray(dst_verts, np.float64)
@@ -116,7 +121,7 @@ def surface_correspondence(src_verts: np.ndarray, src_faces: np.ndarray,
         fi = np.argmin(d2, axis=1)
         face_idx[i:i + chunk] = fi
         bary[i:i + chunk] = b[np.arange(len(fi)), fi]
-    return face_idx, bary.astype(np.float32), faces[face_idx]
+    return face_idx, bary, faces[face_idx]
 
 
 def deformation_transfer_matrix(src_verts: np.ndarray, src_faces: np.ndarray,

@@ -343,6 +343,30 @@ class TestBandReorder:
         np.testing.assert_allclose(
             sh.pca_mean.reshape(-1, 3), mean_orig[perm], atol=0)
 
+    def test_permuted_tri_faces_relabel_quirk(self, assets):
+        """Tri-faced assets: build_mesh_adjacency anchors the reference's
+        spurious tri-face entry at the LITERAL index (0, 0), so a rebuild
+        from permuted faces would re-anchor it at the NEW vertex 0 instead
+        of following the relabeling. permuted() must return the relabelled
+        operators of the SAME mesh (bitwise op[perm][:, perm])."""
+        from garment4d_tpu.models.assets import GarmentAssets
+
+        tri = GarmentAssets.build(
+            name=assets.name, template_v=assets.template_v,
+            faces=[list(f) for f in assets.faces_tri],
+            pca_components=assets.pca_components,
+            pca_mean=assets.pca_mean,
+            pca_explained=assets.pca_explained,
+            pca_scale=assets.pca_scale)
+        rng = np.random.RandomState(7)
+        perm = rng.permutation(tri.num_verts)
+        assert perm[0] != 0  # the quirk anchor must actually move
+        sh = tri.permuted(perm)
+        for a, b in ((sh.gcn_adj, tri.gcn_adj),
+                     (sh.lap_adj, tri.lap_adj),
+                     (sh.smooth_op, tri.smooth_op)):
+            np.testing.assert_array_equal(a, b[perm][:, perm])
+
     def test_bandwidth_permutation_recovers_band(self, shuffled):
         from garment4d_tpu.ops import graph
         sh, _ = shuffled

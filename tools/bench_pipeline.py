@@ -81,6 +81,7 @@ def main(argv=None):
         [(b * args.batch + j) % n_win for j in range(args.batch)]
         for b in range(args.batches + 1)  # +1 warm-up batch
     ]
+    warmup_batch, idx_batches = idx_batches[0], idx_batches[1:]
 
     body = None
     sync = None
@@ -96,16 +97,27 @@ def main(argv=None):
             leaf = jax.tree_util.tree_leaves(batch)[0]
             return float(np.asarray(leaf.ravel()[0]))
 
-    loader = ParallelItemLoader(ds.raw_item, num_workers=args.workers)
-    frames = 0
-    t_start = None
-    for i, items in enumerate(loader.map_batches(idx_batches)):
+    # warm-up on its OWN loader: pools, per-sequence caches, and the
+    # finalize compile. The measured loader below is created after t_start,
+    # so its prefetch head start (up to prefetch+1 batches already in the
+    # pool before the first yield) is paid INSIDE the timed window - the
+    # previous arrangement set the clock after batch 0 of a shared loader
+    # and credited ~2-3 prefetched batches of free work, overstating
+    # frames/s by up to ~25% at the default --batches 12.
+    warm = ParallelItemLoader(ds.raw_item, num_workers=args.workers)
+    for items in warm.map_batches([warmup_batch]):
         batch = ds.collate(items)
         if args.finalize:
             sync(finalize_batch(batch, body, args.npoints))
-        if i == 0:
-            t_start = time.perf_counter()  # first batch warms pools/caches
-            continue
+    warm.close()
+
+    frames = 0
+    t_start = time.perf_counter()
+    loader = ParallelItemLoader(ds.raw_item, num_workers=args.workers)
+    for items in loader.map_batches(idx_batches):
+        batch = ds.collate(items)
+        if args.finalize:
+            sync(finalize_batch(batch, body, args.npoints))
         frames += args.batch * args.T
     dt = time.perf_counter() - t_start
     loader.close()
