@@ -274,7 +274,13 @@ def _bq_grouped_kernel(nvalid_ref, xyz_ref, centers_ref, *refs, radii2,
                 for r2 in radii2:
                     band = jnp.logical_or(
                         band, jnp.abs(d2e - r2) <= eps)
-                band = jnp.logical_and(band, valid)
+                # mask padded lanes AND padded center rows: a zero-padded
+                # center's d2e is just |p|^2, which can sit inside the band
+                # for real points at distance ~r from the origin and force
+                # a spurious whole-group exact rescan (correct either way -
+                # pure overhead on the opt-in MXU path)
+                band = jnp.logical_and(band,
+                                       jnp.logical_and(valid, row_valid))
 
                 @pl.when(jnp.any(band))
                 def _exact_fallback():

@@ -57,7 +57,13 @@ def _kernel(q_ref, pts_ref, d2_ref, idx_ref, *, n_valid: int):
 def _nn1_impl(query: jax.Array, points: jax.Array):
     B, M, _ = query.shape
     N = points.shape[1]
-    m_pad = _round_up(M, _TILE_Q)
+    # adaptive query tile (same reasoning as three_nn.py's heuristic): the
+    # kernel holds ~4 live (Tq, n_pad) f32/i32 temporaries (d2, iota,
+    # where-index, reduce operands), so Tq shrinks past n_pad 4096 to stay
+    # inside the 16 MB scoped VMEM - at the knn_points gate's top (8192
+    # lanes) a 128-row tile would sit right at the limit
+    tile_q = _TILE_Q if _round_up(N, 128) <= 4096 else 64
+    m_pad = _round_up(M, tile_q)
     q = query.astype(jnp.float32)
     if m_pad != M:
         q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
@@ -69,17 +75,17 @@ def _nn1_impl(query: jax.Array, points: jax.Array):
     kern = functools.partial(_kernel, n_valid=N)
     d2, idx = pl.pallas_call(
         kern,
-        grid=(B, m_pad // _TILE_Q),
+        grid=(B, m_pad // tile_q),
         in_specs=[
-            pl.BlockSpec((1, _TILE_Q, 3), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, tile_q, 3), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TILE_Q, 128), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, tile_q, 128), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_Q, 128), lambda b, m: (b, m, 0),
+            pl.BlockSpec((1, tile_q, 128), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -785,11 +785,19 @@ class TestDynamicValidFusedPE:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
-    def test_query_group_pe_multi_compact_uses_nv_exactly(self, rng):
-        """End to end: the candidate-compacted pallas path (which now feeds
-        per-frame counts to the PE kernels) == the unfused reference path."""
+    @pytest.mark.parametrize("nv_wiring", [False, True])
+    def test_query_group_pe_multi_compact_exact(self, rng, monkeypatch,
+                                                nv_wiring):
+        """End to end: the candidate-compacted pallas path == the unfused
+        reference path, under BOTH PE-gather wirings. The chunk-skipping nv
+        feed is off by default (G4D_PE_NV, a measured regression on the
+        headline path), and the module constant is read once at import -
+        so the nv wiring is forced here via monkeypatch to keep its
+        query_group_pe_multi integration covered by default CI."""
         from garment4d_tpu import ops
+        from garment4d_tpu.ops import pemax
 
+        monkeypatch.setattr(pemax, "_NV_ENABLED", nv_wiring)
         B, N, M = 2, 1280, 70
         xyz = rng.randn(B, N, 3).astype(np.float32) * 0.3
         vn = rng.randn(B, N, 3).astype(np.float32)
@@ -808,7 +816,8 @@ class TestDynamicValidFusedPE:
         with pltpu.force_tpu_interpret_mode():
             got = ops.query_group_pe_multi(
                 radii, ss, jnp.asarray(xyz), jnp.asarray(ctr),
-                jnp.asarray(vn), params, cap_frac=0.5, use_pallas=True)
+                jnp.asarray(vn), params, cap_frac=0.5, use_pallas=True,
+                table_grad=not nv_wiring)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-4, atol=1e-5)
