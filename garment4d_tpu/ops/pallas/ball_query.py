@@ -41,6 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 _ENV_MXU_DIST = os.environ.get("G4D_BQ_MXU", "0") == "1"
 _ENV_TILE_MID = int(os.environ.get("G4D_BQ_TILE_MID", "256"))
 _ENV_TILE_PE = int(os.environ.get("G4D_BQ_TILE_PE", "512"))
+# round-5 re-measure: 128-row tiles for big-table (n_pad > 2048) flat scans
+# are ~7% faster standalone at sa1 shapes (31.6 vs 34.1 ms, bitwise exact)
+# and +0.4 f/s on the full posed forward (278.0 vs 277.6); fits scoped vmem
+# including the prefix-rescan path. (The round-2 note that 64 was required
+# for VMEM at long rows no longer reproduces.)
+_ENV_TILE_BIG = int(os.environ.get("G4D_BQ_TILE_BIG", "128"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -503,7 +509,7 @@ def ball_query_multi_pallas(radii, nsamples, xyz: jax.Array,
         # carry one 128-wide output and fit 512-row tiles in scoped vmem;
         # G4D_BQ_TILE_PE overrides for experiments
         mid = _ENV_TILE_PE
-    TILE_M = 64 if n_pad > 2048 else (mid if n_pad > 128 else 512)
+    TILE_M = _ENV_TILE_BIG if n_pad > 2048 else (mid if n_pad > 128 else 512)
     m_pad = _round_up(M, TILE_M)
     s_pads = tuple(_round_up(s, 128) for s in nsamples)
     prefix_p = _round_up(prefix, 128) if prefix else n_pad
