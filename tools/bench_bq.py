@@ -82,7 +82,7 @@ def main():
         of = flat(xyz, ctr)
         tf = timeit(flat, xyz, ctr)
         line = f"{name:14s} N={N:5d} M={M:5d} flat={tf:7.2f}"
-        for tm in (128, 256):
+        for tm in (128, 256, 512):
             grp = jax.jit(partial(_ball_query_multi_grouped, radii, ns,
                                   tile_m=tm, w=512))
             try:
