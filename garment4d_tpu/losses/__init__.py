@@ -5,11 +5,15 @@ from garment4d_tpu.losses.losses import (
     acceleration_error,
     canonical_stage_loss,
     cot_laplacian_loss,
+    cot_laplacian_residuals,
     interpenetration_loss,
+    interpenetration_penalties,
     posed_stage_loss,
     sem_seg_loss,
     shape_l2_loss,
     temporal_constraint_loss,
+    temporal_diff_norms,
+    uniform_laplacian_norms,
     uniform_laplacian_regularizer,
     vertex_l2_loss,
     vertex_msre,
@@ -20,11 +24,15 @@ __all__ = [
     "acceleration_error",
     "canonical_stage_loss",
     "cot_laplacian_loss",
+    "cot_laplacian_residuals",
     "interpenetration_loss",
+    "interpenetration_penalties",
     "posed_stage_loss",
     "sem_seg_loss",
     "shape_l2_loss",
     "temporal_constraint_loss",
+    "temporal_diff_norms",
+    "uniform_laplacian_norms",
     "uniform_laplacian_regularizer",
     "vertex_l2_loss",
     "vertex_msre",

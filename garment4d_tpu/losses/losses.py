@@ -63,18 +63,26 @@ def vertex_msre(pred: Array, target: Array) -> Array:
     return jnp.mean(jnp.sqrt(jnp.sum((pred - target) ** 2, axis=-1)))
 
 
-def interpenetration_loss(garment_v: Array, body_v: Array, body_vn: Array,
-                          reduce: str = "sum") -> Array:
-    """relu(-n_b . (g - b)) over each garment vertex's nearest body vertex.
-
-    garment_v: (B, Vg, 3), body_v / body_vn: (B, Vb, 3). reduce='sum' sums
-    over vertices then means over batch; 'mean' means everything (reference
-    `temporal_loss.py:20-46`).
-    """
+def interpenetration_penalties(garment_v: Array, body_v: Array,
+                               body_vn: Array) -> Array:
+    """relu(-n_b . (g - b)) per garment vertex against its nearest body
+    vertex (reference `temporal_loss.py:20-46`). garment_v: (B, Vg, 3),
+    body_v / body_vn: (B, Vb, 3) -> (B, Vg). The SINGLE copy of the
+    formula - the exported loss and both stage bundles reduce this."""
     nn = ops.knn_points(garment_v, body_v, K=1)
     b = ops.group_points(body_v, nn.idx)[:, :, 0, :]   # (B, Vg, 3)
     n = ops.group_points(body_vn, nn.idx)[:, :, 0, :]
-    pen = jax.nn.relu(-jnp.sum(n * (garment_v - b), axis=-1))  # (B, Vg)
+    return jax.nn.relu(-jnp.sum(n * (garment_v - b), axis=-1))  # (B, Vg)
+
+
+def interpenetration_loss(garment_v: Array, body_v: Array, body_vn: Array,
+                          reduce: str = "sum") -> Array:
+    """Reduced `interpenetration_penalties`. reduce='sum' (the default)
+    sums over vertices then means over batch - the reference HELPER's form
+    (`temporal_loss.py:20-46`); NOTE both training stages use 'mean'
+    (everything meaned) via the stage bundles, which pair it with the
+    reference's lambda values - pass reduce='mean' to match training."""
+    pen = interpenetration_penalties(garment_v, body_v, body_vn)
     if reduce == "sum":
         return jnp.mean(jnp.sum(pen, axis=-1))
     if reduce == "mean":
@@ -82,37 +90,52 @@ def interpenetration_loss(garment_v: Array, body_v: Array, body_vn: Array,
     raise ValueError(reduce)
 
 
-def cot_laplacian_loss(pred_v: Array, gt_v: Array, faces_tri: np.ndarray) -> Array:
-    """| ||L(pred) pred|| - ||L(gt) gt|| | meaned over vertices.
-
-    Reference `laplacian.py:454-467` + `temporal_loss.py:48-58`: each side's
-    Laplacian is built from its own vertices; weights are constants w.r.t.
-    autodiff (the custom backward applies only L^T g).
-    """
+def cot_laplacian_residuals(pred_v: Array, gt_v: Array,
+                            faces_tri: np.ndarray) -> Array:
+    """| ||L(pred) pred|| - ||L(gt) gt|| | per vertex (the single formula
+    copy; reference `laplacian.py:454-467` + `temporal_loss.py:48-58`):
+    each side's Laplacian is built from its own vertices; weights are
+    constants w.r.t. autodiff (the custom backward applies only L^T g)."""
     lx_pred = ops.cot_laplacian_apply(pred_v, pred_v, faces_tri)
     lx_gt = ops.cot_laplacian_apply(gt_v, gt_v, faces_tri)
     n_pred = jnp.linalg.norm(lx_pred, axis=-1)
     n_gt = jax.lax.stop_gradient(jnp.linalg.norm(lx_gt, axis=-1))
-    return jnp.mean(jnp.abs(n_pred - n_gt))
+    return jnp.abs(n_pred - n_gt)
 
 
-def uniform_laplacian_regularizer(pred_v: Array, lap_adj: Array,
-                                  lap_offsets=None) -> Array:
-    """mean ||(I - norm(A)) v|| (reference `temporal_loss.py:127-131`).
+def cot_laplacian_loss(pred_v: Array, gt_v: Array, faces_tri: np.ndarray) -> Array:
+    """mean of `cot_laplacian_residuals`."""
+    return jnp.mean(cot_laplacian_residuals(pred_v, gt_v, faces_tri))
+
+
+def uniform_laplacian_norms(pred_v: Array, lap_adj: Array,
+                            lap_offsets=None) -> Array:
+    """||(I - norm(A)) v|| per vertex (reference `temporal_loss.py:127-131`).
     pred_v: (..., V, 3), lap_adj: (V, V). `lap_offsets` (from
     `ops.graph.cyclic_diagonals(lap_adj)`) selects the banded fast path."""
     if lap_offsets is not None:
         lap = ops.graph.graph_matmul_banded(lap_adj, pred_v, lap_offsets)
     else:
         lap = ops.graph_matmul(lap_adj, pred_v)
-    return jnp.mean(jnp.linalg.norm(lap, axis=-1))
+    return jnp.linalg.norm(lap, axis=-1)
+
+
+def uniform_laplacian_regularizer(pred_v: Array, lap_adj: Array,
+                                  lap_offsets=None) -> Array:
+    """mean of `uniform_laplacian_norms`."""
+    return jnp.mean(uniform_laplacian_norms(pred_v, lap_adj, lap_offsets))
+
+
+def temporal_diff_norms(pred_v: Array) -> Array:
+    """||v_t - v_{t+1}|| per vertex pair (reference
+    `temporal_loss.py:121-125`). pred_v: (B, T, V, 3) -> (B, T-1, V)."""
+    diff = pred_v[:, :-1] - pred_v[:, 1:]
+    return jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
 
 
 def temporal_constraint_loss(pred_v: Array) -> Array:
-    """mean ||v_t - v_{t+1}|| (reference `temporal_loss.py:121-125`).
-    pred_v: (B, T, V, 3)."""
-    diff = pred_v[:, :-1] - pred_v[:, 1:]
-    return jnp.mean(jnp.sqrt(jnp.sum(diff ** 2, axis=-1)))
+    """mean of `temporal_diff_norms`."""
+    return jnp.mean(temporal_diff_norms(pred_v))
 
 
 def acceleration_error(pred_v: Array, gt_v: Array, fps: float = 30.0) -> Array:
@@ -189,19 +212,12 @@ def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
     tpose_body = batch["tpose_smpl_vertices"]  # (B, 6890, 3)
     body_vn = ops.vertex_normals(tpose_body, body_faces)
     garment_rooted = pred + batch["tpose_smpl_root_joints"][:, None, :]
-    nn = ops.knn_points(garment_rooted, tpose_body, K=1)
-    b = ops.group_points(tpose_body, nn.idx)[:, :, 0, :]
-    n = ops.group_points(body_vn, nn.idx)[:, :, 0, :]
-    pen = jax.nn.relu(-jnp.sum(n * (garment_rooted - b), axis=-1))  # (B, Vg)
-    l_pen = mean(pen)
+    l_pen = mean(interpenetration_penalties(garment_rooted, tpose_body,
+                                            body_vn))
     losses["interpenetration_loss"] = l_pen
     total = total + l_pen * weights.interpenetration
 
-    lx_pred = ops.cot_laplacian_apply(pred, pred, faces_tri)
-    lx_gt = ops.cot_laplacian_apply(gt_garment, gt_garment, faces_tri)
-    n_pred = jnp.linalg.norm(lx_pred, axis=-1)
-    n_gt = jax.lax.stop_gradient(jnp.linalg.norm(lx_gt, axis=-1))
-    l_lap = mean(jnp.abs(n_pred - n_gt))
+    l_lap = mean(cot_laplacian_residuals(pred, gt_garment, faces_tri))
     losses["garment_lap_loss"] = l_lap
     total = total + l_lap * weights.garment_lap
 
@@ -211,11 +227,15 @@ def canonical_stage_loss(output, batch: Dict[str, Array], faces_tri: np.ndarray,
 
 def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
                      body_faces: np.ndarray, weights: LossWeights,
-                     valid: Array = None, lap_offsets=None) -> Dict[str, Array]:
+                     valid: Array = None, lap_offsets=None,
+                     lap_perm=None) -> Dict[str, Array]:
     """All posed-stage losses (reference `temporal_loss_PCA_LBS`,
     `temporal_loss.py:147-201`). `output` is a PosedOutput. `valid` is an
     optional (B,) mask excluding eval-tail padding duplicates. `lap_offsets`
-    (see `uniform_laplacian_regularizer`) enables the banded Laplacian."""
+    (see `uniform_laplacian_norms`) enables the banded Laplacian;
+    `lap_perm` (V,) applies a band-recovering vertex relabeling first
+    (exact: ||P L P^T (P x)|| = P ||L x||, and the mean is
+    permutation-invariant - see `ops.graph.bandwidth_permutation`)."""
     B, T = batch["pose"].shape[:2]
     losses: Dict[str, Array] = {}
     total = 0.0
@@ -239,13 +259,13 @@ def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
     losses["lbs_garment_l2_loss"] = l2_acc
     total = total + l2_acc * weights.lbs_garment_l2
 
+    la = lap_adj
+    if lap_perm is not None:
+        la = jnp.take(jnp.take(lap_adj, lap_perm, axis=0), lap_perm, axis=1)
     lap_acc = 0.0
     for pred in output.iter_garment_v:
-        if lap_offsets is not None:
-            lap = ops.graph.graph_matmul_banded(lap_adj, pred, lap_offsets)
-        else:
-            lap = ops.graph_matmul(lap_adj, pred)
-        lap_acc = lap_acc + mean(jnp.linalg.norm(lap, axis=-1))
+        p = pred if lap_perm is None else jnp.take(pred, lap_perm, axis=-2)
+        lap_acc = lap_acc + mean(uniform_laplacian_norms(p, la, lap_offsets))
     losses["lbs_garment_lap_loss"] = lap_acc
     total = total + lap_acc * weights.lbs_garment_lap
 
@@ -253,18 +273,14 @@ def posed_stage_loss(output, batch: Dict[str, Array], lap_adj: Array,
     body_vn = ops.vertex_normals(body_v, body_faces)
     pen_acc = 0.0
     for pred in output.iter_garment_v:
-        nn = ops.knn_points(pred.reshape(B * T, -1, 3), body_v, K=1)
-        b = ops.group_points(body_v, nn.idx)[:, :, 0, :]
-        n = ops.group_points(body_vn, nn.idx)[:, :, 0, :]
-        pen = jax.nn.relu(
-            -jnp.sum(n * (pred.reshape(B * T, -1, 3) - b), axis=-1))
+        pen = interpenetration_penalties(pred.reshape(B * T, -1, 3), body_v,
+                                         body_vn)
         pen_acc = pen_acc + mean(pen.reshape(B, -1))
     losses["lbs_interpenetration_loss"] = pen_acc
     total = total + pen_acc * weights.lbs_interpenetration
 
     last = output.iter_garment_v[-1]
-    diff = last[:, :-1] - last[:, 1:]
-    l_temp = mean(jnp.sqrt(jnp.sum(diff ** 2, axis=-1)))
+    l_temp = mean(temporal_diff_norms(last))
     losses["temporal_constraint_loss"] = l_temp
     total = total + l_temp * weights.temporal_constraint
 

@@ -45,13 +45,19 @@ def _inverse_template_pose(batch: int) -> Array:
     return pose
 
 
-def _interp_weights(dists: Array) -> Array:
-    """1/d^2 interpolation weights with the reference's inf handling
-    (`mesh_encoder.py:341-345,374-378`): zero infs, normalise, zero infs."""
-    w = 1.0 / dists  # dists are squared knn distances
+def _normalize_inf_zeroed(w: Array) -> Array:
+    """The reference's interpolation-weight inf handling
+    (`mesh_encoder.py:341-345,374-378`): zero infs, normalise, zero infs.
+    ONE copy of the semantics - used by both the plain and the masked
+    (K-NN-selected) weight forms."""
     w = jnp.where(jnp.isinf(w), 0.0, w)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     return jnp.where(jnp.isinf(w), 0.0, w)
+
+
+def _interp_weights(dists: Array) -> Array:
+    """1/d^2 interpolation weights with the reference's inf handling."""
+    return _normalize_inf_zeroed(1.0 / dists)  # dists are squared knn dists
 
 
 def _kth_smallest_bits(bits: Array, k: int) -> Array:
@@ -96,10 +102,7 @@ def _masked_weight_transfer(d2: Array, w0: Array, k: int):
     cum_tie = jnp.cumsum(tie.astype(jnp.int32), axis=-1)
     sel = jnp.logical_or(below, jnp.logical_and(tie, cum_tie <= extra))
 
-    w = jnp.where(sel, 1.0 / jnp.maximum(d2, 0.0), 0.0)
-    w = jnp.where(jnp.isinf(w), 0.0, w)  # reference inf handling
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-    w = jnp.where(jnp.isinf(w), 0.0, w)
+    w = _normalize_inf_zeroed(jnp.where(sel, 1.0 / jnp.maximum(d2, 0.0), 0.0))
     return jnp.einsum("bvn,bnj->bvj", w, w0, **_MM)
 
 

@@ -91,12 +91,21 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
     """Returns (train_step, eval_step) for the posed stage. The canonical
     encoder's BatchNorm stays in inference mode inside the posed model
     (reference freezes its BN when --fix_PCA, `train_temporal.py:227-233`)."""
-    from garment4d_tpu.ops.graph import cyclic_diagonals
+    from garment4d_tpu.ops.graph import bandwidth_permutation, cyclic_diagonals
 
     weights = weights or L.LossWeights()
     # grid/ring-ordered templates: the loss Laplacian is cyclic-banded and
-    # the V x V matmuls collapse to shifted multiply-adds (ops/graph.py)
+    # the V x V matmuls collapse to shifted multiply-adds (ops/graph.py).
+    # Non-grid-coherent vertex orders recover a band via the same RCM
+    # relabeling the model's refinement stack uses (exact - the loss means
+    # per-vertex norms, which a permutation only reorders); only genuinely
+    # wide graphs keep the dense V x V matmul.
     lap_offsets = cyclic_diagonals(np.asarray(assets.lap_adj))
+    lap_perm = None
+    if lap_offsets is None:
+        perm, offs = bandwidth_permutation(np.asarray(assets.lap_adj))
+        if offs is not None:
+            lap_perm, lap_offsets = jnp.asarray(perm), offs
 
     def loss_fn(params, state, batch, dropout_rng):
         out, mutated = model.apply(
@@ -107,7 +116,8 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
             mutable=["batch_stats"])
         lap_adj = state.constants[LAP_ADJ_KEY]
         loss_dict = L.posed_stage_loss(out, batch, lap_adj, body_faces,
-                                       weights, lap_offsets=lap_offsets)
+                                       weights, lap_offsets=lap_offsets,
+                                       lap_perm=lap_perm)
         return loss_dict["total_loss"], (loss_dict, mutated["batch_stats"])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -128,7 +138,8 @@ def make_posed_steps(model, assets, body_faces: np.ndarray,
         lap_adj = state.constants[LAP_ADJ_KEY]
         return L.posed_stage_loss(out, batch, lap_adj, body_faces, weights,
                                   valid=batch.get("valid_mask"),
-                                  lap_offsets=lap_offsets)
+                                  lap_offsets=lap_offsets,
+                                  lap_perm=lap_perm)
 
     return train_step, eval_step
 

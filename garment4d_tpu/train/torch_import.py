@@ -28,9 +28,12 @@ import numpy as np
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .ckpt / .pth and return {key: ndarray} of model_state."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        import torch
+    except ImportError:
+        ckpt = _load_torch_zip_numpy(path)
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and ckpt.get("model_state") is not None:
         ckpt = ckpt["model_state"]
     out = {}
@@ -40,6 +43,100 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         else:
             out[k] = np.asarray(v)
     return out
+
+
+# torch storage-class name -> numpy dtype (zip-format numpy-only loader)
+_TORCH_STORAGE_DTYPES = {
+    "FloatStorage": np.float32, "DoubleStorage": np.float64,
+    "HalfStorage": np.float16, "LongStorage": np.int64,
+    "IntStorage": np.int32, "ShortStorage": np.int16,
+    "CharStorage": np.int8, "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+def _load_torch_zip_numpy(path: str):
+    """Numpy-only reader for torch's zipfile serialization format (the
+    default since torch 1.6, i.e. every released reference checkpoint).
+
+    The archive holds `<name>/data.pkl` - a pickle whose tensors are
+    persistent-id references `('storage', <StorageClass>, key, location,
+    numel)` - plus one raw little-endian buffer per storage under
+    `<name>/data/<key>`. A custom Unpickler resolves the references to
+    numpy buffers and rebuilds tensors with as_strided, so no torch import
+    is needed. Legacy (non-zip) checkpoints still require torch."""
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    try:
+        pkl_name = next(n for n in zf.namelist() if n.endswith("data.pkl"))
+    except StopIteration:
+        raise ValueError(
+            f"{path!r} is not a torch zipfile checkpoint (no data.pkl); "
+            "legacy-format files need torch installed")
+    root = pkl_name[: -len("data.pkl")]
+
+    class _StorageRef:
+        def __init__(self, dtype, key):
+            self.dtype = dtype
+            self.key = key
+
+        def read(self):
+            return np.frombuffer(zf.read(f"{root}data/{self.key}"),
+                                 dtype=self.dtype)
+
+    def _rebuild_tensor_v2(storage, offset, size, stride, requires_grad,
+                           backward_hooks, *extra):
+        flat = storage.read()
+        if not size:
+            return flat[offset].copy()
+        itemsize = flat.dtype.itemsize
+        return np.lib.stride_tricks.as_strided(
+            flat[offset:], shape=tuple(size),
+            strides=tuple(s * itemsize for s in stride)).copy()
+
+    def _rebuild_parameter(data, requires_grad=True, hooks=None):
+        return data
+
+    class _StorageClass:
+        def __init__(self, name):
+            self.name = name
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name in (
+                    "_rebuild_tensor_v2", "_rebuild_tensor"):
+                return _rebuild_tensor_v2
+            if module == "torch._utils" and name == "_rebuild_parameter":
+                return _rebuild_parameter
+            if module == "torch" and name in _TORCH_STORAGE_DTYPES:
+                return _StorageClass(name)
+            if module == "torch" and name == "Size":
+                return tuple
+            if (module, name) == ("collections", "OrderedDict"):
+                import collections
+
+                return collections.OrderedDict
+            if module in ("numpy", "numpy.core.multiarray",
+                          "numpy._core.multiarray"):
+                import importlib
+
+                return getattr(importlib.import_module(module), name)
+            raise pickle.UnpicklingError(
+                f"numpy-only torch loader: unsupported global "
+                f"{module}.{name} (install torch for this checkpoint)")
+
+        def persistent_load(self, pid):
+            kind, storage_cls, key = pid[0], pid[1], pid[2]
+            if kind != "storage":
+                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+            name = (storage_cls.name if isinstance(storage_cls, _StorageClass)
+                    else getattr(storage_cls, "__name__", str(storage_cls)))
+            return _StorageRef(np.dtype(_TORCH_STORAGE_DTYPES[name]), key)
+
+    with zf.open(pkl_name) as f:
+        return _Unpickler(f).load()
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +188,9 @@ def map_torch_key(key: str):
             base = prefix + ("pointnet", _SA_NAME[k], f"mlp{s}", layer)
             return _conv_or_bn(base, parts[6:])
         if sub == "Middle_modules":
+            # a SINGLE PointnetSAModule, not a ModuleList (reference
+            # `pointnet2encoder.py:81`), so its keys are
+            # pointnet.Middle_modules.mlps.{s}.layer{i}.{conv|bn}...
             k_, _, s, layer = "0", parts[2], parts[3], parts[4]
             base = prefix + ("pointnet", "middle", f"mlp{s}", layer)
             return _conv_or_bn(base, parts[5:])

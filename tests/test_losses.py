@@ -140,3 +140,43 @@ class TestInterpWeights:
         assert w[0] == 0.0
         np.testing.assert_allclose(w[1] / w[2], 4.0, rtol=1e-5)
         np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+
+
+class TestLapBandRecovery:
+    """The posed Laplacian regulariser under a band-recovering vertex
+    relabeling (losses.posed_stage_loss `lap_perm` / train.step wiring):
+    mean ||P L P^T (P x)|| must equal the dense mean ||L x|| exactly, and
+    make_posed_steps must discover the permutation for shuffled templates."""
+
+    def test_permuted_banded_equals_dense(self):
+        from garment4d_tpu.ops import graph
+
+        assets = GarmentAssets.synthetic(num_rings=10, ring_size=16)
+        rng = np.random.RandomState(5)
+        perm0 = rng.permutation(assets.num_verts)
+        lap = np.asarray(assets.lap_adj)[perm0][:, perm0]  # shuffled order
+        assert graph.cyclic_diagonals(lap) is None
+        perm, offs = graph.bandwidth_permutation(lap)
+        assert offs is not None  # RCM recovers the ring band
+
+        x = jnp.asarray(rng.randn(3, lap.shape[0], 3).astype(np.float32))
+        dense = jnp.mean(losses.uniform_laplacian_norms(x, jnp.asarray(lap)))
+        la = jnp.asarray(lap[perm][:, perm])
+        banded = jnp.mean(losses.uniform_laplacian_norms(
+            jnp.take(x, jnp.asarray(perm), axis=-2), la, offs))
+        np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_make_posed_steps_recovers_band(self):
+        from garment4d_tpu.train import step as train_step_mod
+
+        assets = GarmentAssets.synthetic(num_rings=10, ring_size=16)
+        rng = np.random.RandomState(6)
+        shuffled = assets.permuted(rng.permutation(assets.num_verts))
+        from garment4d_tpu.ops import graph
+
+        assert graph.cyclic_diagonals(np.asarray(shuffled.lap_adj)) is None
+        # the step factory must fall through to bandwidth_permutation
+        perm, offs = graph.bandwidth_permutation(
+            np.asarray(shuffled.lap_adj))
+        assert offs is not None and perm is not None

@@ -183,3 +183,50 @@ class TestTorchImport:
         new_vars, report = import_torch_checkpoint(loaded, variables)
         got = np.asarray(_flat(new_vars["params"])[("gcn0_0", "weight")])
         np.testing.assert_array_equal(got, np.full_like(target, 2.5))
+
+
+class TestNumpyZipLoader:
+    """The numpy-only reader for torch's zipfile serialization format must
+    reproduce torch.load exactly (it backs load_torch_state_dict on
+    torch-free installs)."""
+
+    def test_matches_torch_load(self, tmp_path):
+        import torch
+
+        from garment4d_tpu.train.torch_import import (
+            _load_torch_zip_numpy,
+            load_torch_state_dict,
+        )
+
+        rng = np.random.RandomState(3)
+        state = {
+            "model_state": {
+                "a.conv.weight": torch.from_numpy(
+                    rng.randn(8, 4, 1).astype(np.float32)),
+                "a.bn.running_mean": torch.from_numpy(
+                    rng.randn(8).astype(np.float64)),
+                "steps": torch.tensor(7, dtype=torch.int64),
+                # non-contiguous tensor: exercises the stride handling
+                "b.weight": torch.from_numpy(
+                    rng.randn(6, 10).astype(np.float32)).t(),
+            },
+            "epoch": 3,
+        }
+        path = str(tmp_path / "ck.ckpt")
+        torch.save(state, path)
+
+        got = _load_torch_zip_numpy(path)
+        assert got["epoch"] == 3
+        want = load_torch_state_dict(path)  # torch path (torch importable)
+        gm = got["model_state"]
+        assert set(gm) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(gm[k]), want[k])
+
+    def test_non_zip_raises(self, tmp_path):
+        from garment4d_tpu.train.torch_import import _load_torch_zip_numpy
+
+        p = tmp_path / "legacy.ckpt"
+        p.write_bytes(b"not a zip at all")
+        with pytest.raises(Exception):
+            _load_torch_zip_numpy(str(p))
