@@ -59,10 +59,12 @@ def _nn1_impl(query: jax.Array, points: jax.Array):
     N = points.shape[1]
     # adaptive query tile (same reasoning as three_nn.py's heuristic): the
     # kernel holds ~4 live (Tq, n_pad) f32/i32 temporaries (d2, iota,
-    # where-index, reduce operands), so Tq shrinks past n_pad 4096 to stay
-    # inside the 16 MB scoped VMEM - at the knn_points gate's top (8192
-    # lanes) a 128-row tile would sit right at the limit
-    tile_q = _TILE_Q if _round_up(N, 128) <= 4096 else 64
+    # where-index, reduce operands), so Tq halves near the knn_points
+    # gate's top (8192 lanes), where a 128-row tile would sit right at the
+    # 16 MB scoped-VMEM limit. The 6912-lane boundary keeps the production
+    # body-table case (N=6890, ~3.4 MB/temp) on the tile the 2.98 ms
+    # measurement and on-chip verification used.
+    tile_q = _TILE_Q if _round_up(N, 128) <= 6912 else 64
     m_pad = _round_up(M, tile_q)
     q = query.astype(jnp.float32)
     if m_pad != M:
