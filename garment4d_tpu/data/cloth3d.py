@@ -165,6 +165,13 @@ class Cloth3dDataset:
                         win.append(seq[acc])
                     self.windows.append(win)
                 else:
+                    # NOTE (parity quirk, kept deliberately): when len(seq)
+                    # is an exact multiple of T, sample_time over-counts by
+                    # one and the last eval window is T copies of the final
+                    # frame (reference dataloader.py:82-99 does the same);
+                    # those duplicated frames slightly bias eval means in
+                    # BOTH implementations, so this is byte-faithful rather
+                    # than fixed
                     win = seq[i * T: i * T + T]
                     if len(win) < T:
                         win = win + [seq[-1]] * (T - len(win))
@@ -189,6 +196,11 @@ class Cloth3dDataset:
         seq_root = os.path.join(self.paths.smpl_param_prefix, seq_name)
         with open(os.path.join(seq_root, "gender.pkl"), "rb") as f:
             gender = pickle.load(f)
+        if gender not in (0, 1):
+            # the reference raises for unknown genders (dataloader.py:199-214);
+            # silently treating e.g. 2 as female would corrupt every SMPL body
+            raise NotImplementedError(
+                f"{seq_name}: gender {gender!r} (expected 0=female, 1=male)")
         reg_dir = os.path.join(self.paths.root, self.paths.garment_folder,
                                seq_name)
         with open(os.path.join(reg_dir, "PCACoeff_SS.pkl"), "rb") as f:
@@ -197,7 +209,12 @@ class Cloth3dDataset:
             remesh = pickle.load(f)
         remesh_ind = np.stack([r["ind"] for r in remesh])
         remesh_w = np.stack([r["w"] for r in remesh])
-        template_file = os.path.join(self.paths.template_prefix, seq_name,
+        # join() with root like every other path field; an ABSOLUTE
+        # template_prefix (what existing callers pass) wins the join
+        # unchanged, while the documented relative default now resolves
+        # under <root> instead of silently CWD-relative
+        template_file = os.path.join(self.paths.root,
+                                     self.paths.template_prefix, seq_name,
                                      f"{self.garment_name}.obj")
         tmpl_v_raw, _ = native.parse_obj(template_file)
         for a in (pca_coeff, remesh_ind, remesh_w, tmpl_v_raw):
@@ -316,22 +333,41 @@ def _body_shuffle_choice(num_verts: int, garment_count: int,
     return out
 
 
-def finalize_batch(raw: Dict[str, np.ndarray], body_models: Dict[str, SmplModel],
-                   npoints: int) -> Dict[str, jax.Array]:
+_FINALIZE_KEYS = (
+    "pose", "beta", "gender", "body_shuffle", "garment_pcd",
+    "garment_subsample", "garment_pcd_label", "final_choice", "garment",
+    "garment_template_vertices", "pca_coeff",
+)
+
+
+def finalize_batch(raw: Dict[str, np.ndarray],
+                   body_models: Dict[str, SmplModel]) -> Dict[str, jax.Array]:
     """Device-side batch completion: 3 batched SMPL forwards + pcd assembly.
 
     raw: collated numpy dict from `Cloth3dDataset`; body_models: {'male','female'}.
     Returns the 16-key training batch (reference `dataloader.py:262-294`).
+    One jitted program per batch shape: unjitted, the ~20 jnp ops here each
+    paid a per-op dispatch (pathological through the axon relay - see
+    CLAUDE.md) and the J_regressor/lbs_weights broadcasts materialised
+    four (B, T, J, Vb) HBM buffers as standalone ops.
     """
+    arrays = {k: jnp.asarray(raw[k]) for k in _FINALIZE_KEYS}
+    return _finalize_jit(arrays, body_models["male"], body_models["female"])
+
+
+@jax.jit
+def _finalize_jit(raw: Dict[str, jax.Array], male: SmplModel,
+                  female: SmplModel) -> Dict[str, jax.Array]:
     from garment4d_tpu.data.synthetic import smpl_triple_forward
 
+    body_models = {"male": male, "female": female}
     B, T = raw["pose"].shape[:2]
-    pose = jnp.asarray(raw["pose"])
-    beta = jnp.asarray(raw["beta"])
+    pose = raw["pose"]
+    beta = raw["beta"]
 
     out_m = smpl_triple_forward(body_models["male"], pose, beta)
     out_f = smpl_triple_forward(body_models["female"], pose, beta)
-    is_male = jnp.asarray(raw["gender"] == 1)
+    is_male = raw["gender"] == 1
 
     def pick(m, f):
         expand = (slice(None),) + (None,) * (m.ndim - 1)
@@ -345,37 +381,37 @@ def finalize_batch(raw: Dict[str, np.ndarray], body_models: Dict[str, SmplModel]
     body_v = body["smpl_vertices"]  # (B, T, Vb, 3)
     # per-item shuffles/choices are identical (pure functions of the shapes)
     # but kept per-item for generality
-    body_shuffle = jnp.asarray(raw["body_shuffle"])  # (B, T, Vb)
+    body_shuffle = raw["body_shuffle"]  # (B, T, Vb)
     shuffled_body = jnp.take_along_axis(
         body_v, body_shuffle[:, :, :, None], axis=2)
     # garment points: offset by per-frame root joint, subsample to N//2
-    g_pcd = jnp.asarray(raw["garment_pcd"]) + root[:, :, None, :]
-    sub = jnp.asarray(raw["garment_subsample"])  # (B, T, N//2)
+    g_pcd = raw["garment_pcd"] + root[:, :, None, :]
+    sub = raw["garment_subsample"]  # (B, T, N//2)
     g_sel = jnp.take_along_axis(g_pcd, sub[..., None], axis=2)
-    g_lab = jnp.take_along_axis(jnp.asarray(raw["garment_pcd_label"]), sub, axis=2)
+    g_lab = jnp.take_along_axis(raw["garment_pcd_label"], sub, axis=2)
 
     pcd_all = jnp.concatenate([shuffled_body, g_sel], axis=2)  # (B,T,Vb+N/2,3)
     lab_all = jnp.concatenate([
         jnp.ones((B, T, Vb), jnp.int32),
         g_lab.astype(jnp.int32)], axis=2)
-    final = jnp.asarray(raw["final_choice"])  # (B, N)
+    final = raw["final_choice"]  # (B, N)
     pcd = jnp.take_along_axis(pcd_all, final[:, None, :, None], axis=2)
     labels = jnp.take_along_axis(lab_all, final[:, None, :], axis=2) - 1  # -1 shift
 
-    J = body_models["male"].J_regressor.shape[0]
-    jr_m = jnp.broadcast_to(body_models["male"].J_regressor[None, None], (B, T, J, Vb))
-    jr_f = jnp.broadcast_to(body_models["female"].J_regressor[None, None], (B, T, J, Vb))
-    lw_m = jnp.broadcast_to(body_models["male"].lbs_weights[None, None], (B, T, Vb, J))
-    lw_f = jnp.broadcast_to(body_models["female"].lbs_weights[None, None], (B, T, Vb, J))
+    J = male.J_regressor.shape[0]
+    jr_m = jnp.broadcast_to(male.J_regressor[None, None], (B, T, J, Vb))
+    jr_f = jnp.broadcast_to(female.J_regressor[None, None], (B, T, J, Vb))
+    lw_m = jnp.broadcast_to(male.lbs_weights[None, None], (B, T, Vb, J))
+    lw_f = jnp.broadcast_to(female.lbs_weights[None, None], (B, T, Vb, J))
 
     return dict(
         pose=pose,
         beta=beta,
         pcd=pcd,
         pcd_label=labels,
-        garment=jnp.asarray(raw["garment"]),
-        garment_template_vertices=jnp.asarray(raw["garment_template_vertices"]),
-        pca_coeff=jnp.asarray(raw["pca_coeff"]),
+        garment=raw["garment"],
+        garment_template_vertices=raw["garment_template_vertices"],
+        pca_coeff=raw["pca_coeff"],
         J_regressor=pick(jr_m, jr_f),
         lbs_weights=pick(lw_m, lw_f),
         **body,

@@ -47,6 +47,7 @@ def per_process_batch(global_batch: int) -> int:
     """Split the global batch across hosts (parity with the reference's
     `batch_size // world_size` check, `train_utils.py:70-73`)."""
     n = jax.process_count()
-    assert global_batch % n == 0, (
-        f"global batch {global_batch} not divisible by process count {n}")
+    if global_batch % n != 0:  # a bare assert vanishes under python -O
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {n}")
     return global_batch // n

@@ -82,7 +82,7 @@ class TestCloth3dPipeline:
 
         body = smpl.synthetic_smpl(num_verts=Vb)
         batch = ds.collate([raw0, raw1])
-        final = finalize_batch(batch, {"male": body, "female": body}, N)
+        final = finalize_batch(batch, {"male": body, "female": body})
         B = 2
         assert final["pcd"].shape == (B, T, N, 3)
         assert final["pcd_label"].shape == (B, T, N)

@@ -108,7 +108,7 @@ def main(argv=None):
     for items in warm.map_batches([warmup_batch]):
         batch = ds.collate(items)
         if args.finalize:
-            sync(finalize_batch(batch, body, args.npoints))
+            sync(finalize_batch(batch, body))
     warm.close()
 
     frames = 0
@@ -117,7 +117,7 @@ def main(argv=None):
     for items in loader.map_batches(idx_batches):
         batch = ds.collate(items)
         if args.finalize:
-            sync(finalize_batch(batch, body, args.npoints))
+            sync(finalize_batch(batch, body))
         frames += args.batch * args.T
     dt = time.perf_counter() - t_start
     loader.close()

@@ -157,7 +157,7 @@ def main(argv=None):
                 for (_, mask), items in zip(
                         metas, loader.map_batches([m[0] for m in metas])):
                     raw = ds.collate(items)
-                    batch = finalize_batch(raw, body_models, npoints)
+                    batch = finalize_batch(raw, body_models)
                     if mask is not None:
                         batch["valid_mask"] = local_batch_indices(mask)
                     yield shard_batch(batch, mesh)
